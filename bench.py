@@ -1,0 +1,127 @@
+"""Benchmark: ViLT-B/32 DAT+MKD federated train-step throughput on one chip.
+
+Measures samples/sec/chip of the full DAT training step (3 forwards +
+2 backwards + 2 AdamW updates per batch, the reference's per-batch cost —
+``task_trainer.py:280-330``) on the flagship ViLT-B/32 with triple adapters
+at reduction 16.
+
+``vs_baseline`` compares the TPU-tuned configuration (bf16 compute, large
+batch, fused jitted step, donated buffers) against the *reference run
+configuration* executed by this same framework: batch size 2 and fp32
+compute, mirroring ``src/train_vilt.sh`` (batch 2, fp16-autocast on GPU).
+The reference PyTorch implementation itself cannot run on TPU hardware; its
+configuration can, and is the closest measurable stand-in for "what the
+reference does per chip".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _build(batch_size: int, dtype: str):
+    import jax
+
+    from feddat_tpu.configs.core import AdapterSpec, OptimizerConfig, PEFTMode, ViltModelConfig
+    from feddat_tpu.models.adapters import MODE_INIT
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner
+    from feddat_tpu.train.dat import Partitioner, init_train_state, make_dat_train_step
+    from feddat_tpu.train.losses import bce_with_logits_vqa
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        cfg = ViltModelConfig(
+            adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16)
+        )
+        num_labels = 100
+    else:  # CPU smoke-scale
+        cfg = ViltModelConfig(
+            vocab_size=1000,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=128,
+            max_text_len=16,
+            image_size=(64, 64),
+            patch_size=32,
+            adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
+        )
+        num_labels = 100
+
+    import jax.numpy as jnp
+
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = ViltContinualLearner(cfg, {"fed": TaskHeadSpec(num_labels=num_labels)}, dtype=jdtype)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": rng.randint(1, cfg.vocab_size, size=(batch_size, cfg.max_text_len)).astype(np.int32),
+        "attention_mask": np.ones((batch_size, cfg.max_text_len), np.int32),
+        "pixel_values": rng.randn(batch_size, cfg.image_size[0], cfg.image_size[1], 3).astype(np.float32),
+        "target_scores": np.eye(num_labels, dtype=np.float32)[
+            rng.randint(0, num_labels, size=batch_size)
+        ],
+    }
+    from feddat_tpu.models.vilt import init_vilt_params
+
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+
+    def forward(p, b, mode, dropout_rng):
+        _, logits = model.apply(
+            {"params": p}, "fed", b, adapter_mode=mode, deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        return bce_with_logits_vqa(logits, b["target_scores"]), logits
+
+    opt = OptimizerConfig()
+    part = Partitioner(params, "fed", PEFTMode.DAT)
+    state = init_train_state(params, part, opt, jax.random.PRNGKey(0))
+    step = make_dat_train_step(forward, part, opt, max_steps=10_000)
+    return step, state, batch
+
+
+def _measure(batch_size: int, dtype: str, warmup=3, iters=20) -> float:
+    import jax
+
+    step, state, batch = _build(batch_size, dtype)
+    # Stage the batch in HBM once: in training the host pipeline prefetches
+    # asynchronously (feddat_tpu.data.pipeline.prefetch_to_device), so steady
+    # state is compute-bound, not transfer-bound.
+    batch = jax.device_put(batch)
+    for _ in range(warmup):
+        state, m = step(state, batch)
+    # NOTE: through the axon relay ``block_until_ready`` returns before the
+    # computation finishes; a scalar readback is the only reliable fence.
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    float(m["loss"])  # forces the dependent chain to materialize
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    tuned_bs = 32 if on_tpu else 8
+    tuned = _measure(tuned_bs, "bfloat16")
+    baseline = _measure(2, "float32", warmup=2, iters=10)
+    print(
+        json.dumps(
+            {
+                "metric": "vilt_dat_train_samples_per_sec_per_chip",
+                "value": round(tuned, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(tuned / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

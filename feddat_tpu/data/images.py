@@ -1,0 +1,218 @@
+"""Image backends: image_id -> decoded, resized numpy image.
+
+Re-implements the reference's per-source path conventions
+(``src/data/image_datasets/cocoimages_dataset_crossvqas.py:22-125``,
+``vgimages_dataset.py:23-53``, ``vizwizimages_dataset.py:23-52``) with
+configurable roots instead of hardcoded personal paths, and with numpy/PIL
+host-side processing that produces FIXED-SHAPE arrays (the TPU contract):
+
+  * ``vilt`` preprocessing: shorter-side-384 / longer-side<=640 bicubic
+    resize (only when min side > 384, matching the reference's conditional
+    ``pil_transform``), then zero-pad onto a fixed (384, 640) canvas with a
+    pixel mask;
+  * ``albef`` preprocessing: bicubic resize to exactly (384, 384) + CLIP
+    statistics normalization (``vqa_dataset_crossvqa.py:533-572``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+VILT_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
+VILT_STD = np.array([0.5, 0.5, 0.5], np.float32)
+
+
+def vilt_resize(img: "Image.Image", shorter: int = 384, longer: int = 640):
+    """Shorter-side resize with longer-side cap (HF ViltImageProcessor rule)."""
+    w, h = img.size
+    scale = shorter / min(w, h)
+    if max(w, h) * scale > longer:
+        scale = longer / max(w, h)
+    nw, nh = round(w * scale), round(h * scale)
+    return img.resize((nw, nh), Image.BICUBIC)
+
+
+def process_vilt_image(
+    img: "Image.Image", canvas: Tuple[int, int] = (384, 640)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (pixel_values [H, W, 3] float32 normalized, pixel_mask [H, W])."""
+    # The reference resizes only when min(side) > 384 (``cocoimages…:108-110``)
+    if min(img.size) > 384:
+        img = vilt_resize(img)
+    elif max(img.size) > canvas[1] or min(img.size) > canvas[0]:
+        img = vilt_resize(img)
+    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    arr = (arr - VILT_MEAN) / VILT_STD
+    h, w = arr.shape[:2]
+    h, w = min(h, canvas[0]), min(w, canvas[1])
+    out = np.zeros((canvas[0], canvas[1], 3), np.float32)
+    mask = np.zeros((canvas[0], canvas[1]), np.int32)
+    out[:h, :w] = arr[:h, :w]
+    mask[:h, :w] = 1
+    return out, mask
+
+
+def process_albef_image(img: "Image.Image", size: int = 384) -> np.ndarray:
+    """-> pixel_values [size, size, 3] float32, CLIP-normalized."""
+    img = img.convert("RGB").resize((size, size), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - CLIP_MEAN) / CLIP_STD
+
+
+class ImageBackend:
+    """Base: maps image_id -> file path, loads + decodes."""
+
+    def __init__(self):
+        self._cache: Dict[object, str] = {}
+
+    def path_for(self, image_id) -> str:
+        raise NotImplementedError
+
+    def load(self, image_id) -> "Image.Image":
+        p = self.path_for(image_id)
+        img = Image.open(p)
+        return img.convert("RGB")
+
+
+class DirectoryScanBackend(ImageBackend):
+    """COCO-style backends that scan directories and parse ids from filenames
+    (reference ``cocoimages_dataset_crossvqas.py:39-65``).
+
+    ``id_rule`` per task:
+      abstract: int of last '_'-part of .png name; train/val routed by
+        'train'/'val' substring;
+      toronto:  int of last '_'-part of .jpg name, same routing;
+      art:      int before '-' in .jpg name, single dir;
+      pvqa/med: string stem.
+    """
+
+    def __init__(self, dirs: Sequence[str], task_key: str):
+        super().__init__()
+        self.task_key = task_key
+        self.imageid2filename: Dict[object, str] = {}
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                image_id = self._parse_id(fn)
+                if image_id is None:
+                    continue
+                self.imageid2filename[image_id] = os.path.join(d, fn)
+
+    def _parse_id(self, fn: str):
+        stem = os.path.splitext(fn)[0]
+        try:
+            if self.task_key == "abstract":
+                return int(stem.split("_")[-1])
+            if self.task_key == "toronto":
+                return int(stem.split("_")[-1])
+            if self.task_key == "art":
+                return int(stem.split("-")[0])
+            return stem
+        except ValueError:
+            return None
+
+    def path_for(self, image_id) -> str:
+        return self.imageid2filename[image_id]
+
+
+class VisualGenomeBackend(ImageBackend):
+    """VG images: ``{root}/{id}.jpg`` with the reference's ``'n'`` strip
+    (``vgimages_dataset.py:44-47``)."""
+
+    def __init__(self, root: str):
+        super().__init__()
+        self.root = root
+
+    def path_for(self, image_id) -> str:
+        image_id = str(image_id).replace("n", "")
+        return os.path.join(self.root, f"{image_id}.jpg")
+
+
+class VizwizBackend(ImageBackend):
+    """VizWiz: image_id IS the filename (``vizwizimages_dataset.py:44-47``)."""
+
+    def __init__(self, root: str):
+        super().__init__()
+        self.root = root
+
+    def path_for(self, image_id) -> str:
+        return os.path.join(self.root, str(image_id))
+
+
+class CocoIdBackend(ImageBackend):
+    """Plain COCO ``{split}2014/COCO_{split}2014_{id:012d}.jpg`` convention
+    (non-federated VQAv2 path, ``cocoimages_dataset.py``)."""
+
+    def __init__(self, root: str, splits=("train2014", "val2014")):
+        super().__init__()
+        self.imageid2filename: Dict[object, str] = {}
+        for split in splits:
+            d = os.path.join(root, split)
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                stem = os.path.splitext(fn)[0]
+                try:
+                    image_id = int(stem.split("_")[-1])
+                except ValueError:
+                    continue
+                self.imageid2filename[image_id] = os.path.join(d, fn)
+
+    def path_for(self, image_id) -> str:
+        return self.imageid2filename[int(image_id)]
+
+
+class Flickr30kBackend(ImageBackend):
+    """Flickr30K for SNLI-VE: ``{root}/{id}.jpg``."""
+
+    def __init__(self, root: str):
+        super().__init__()
+        self.root = root
+
+    def path_for(self, image_id) -> str:
+        return os.path.join(self.root, f"{image_id}.jpg")
+
+
+def make_backend(images_source: str, task_key: str, data_root: str = "./data") -> ImageBackend:
+    """Backend routing (reference ``train_vqa_crossvqa.py`` image routing:
+    VG for gqa/clove, vizwiz for vizwiz, COCO-style scans otherwise)."""
+    if images_source in ("vg", "vgd"):
+        return VisualGenomeBackend(os.path.join(data_root, "vg", "VG_100K"))
+    if images_source == "vizwiz":
+        return VizwizBackend(os.path.join(data_root, "vizwiz", "images"))
+    if images_source == "abstract_image":
+        return DirectoryScanBackend(
+            [
+                os.path.join(data_root, "vqa_abstract", "train2015"),
+                os.path.join(data_root, "vqa_abstract", "val2015"),
+            ],
+            "abstract",
+        )
+    if images_source == "toronto_image":
+        return DirectoryScanBackend(
+            [
+                os.path.join(data_root, "mscoco", "train2014"),
+                os.path.join(data_root, "mscoco", "val2014"),
+            ],
+            "toronto",
+        )
+    if images_source == "art_image":
+        return DirectoryScanBackend(
+            [os.path.join(data_root, "AQUA", "SemArt", "Images")], "art"
+        )
+    if images_source == "ms-coco":
+        return CocoIdBackend(os.path.join(data_root, "mscoco"))
+    if images_source == "flickr30k":
+        return Flickr30kBackend(os.path.join(data_root, "flickr30k", "images"))
+    raise KeyError(f"unknown images_source {images_source!r}")

@@ -1,0 +1,143 @@
+"""Host input pipeline: decode -> preprocess -> fixed-shape batches ->
+double-buffered device prefetch.
+
+Replaces the reference's inside-``forward`` preprocessing (``vilt.py:98-99``,
+``albef.py:56-57``) and torch DataLoader collators
+(``vqa_dataset_crossvqa.py:377-471``) with an explicit host pipeline whose
+output shapes are STATIC (text padded to max_text_len, images on a fixed
+canvas), so jitted programs never retrace.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from feddat_tpu.data.datasets import VQAExample
+from feddat_tpu.data.images import process_albef_image, process_vilt_image
+from feddat_tpu.data.vqa_scoring import target_tensor
+
+
+class ViltVQAPipeline:
+    """Produces ViLT train/eval batches from (examples, image backend).
+
+    Batch schema: input_ids [B, L], attention_mask [B, L],
+    pixel_values [B, H, W, 3], pixel_mask [B, H, W], target_scores [B, C]
+    (+ valid [B] on eval batches).
+    """
+
+    def __init__(
+        self,
+        examples: Sequence[VQAExample],
+        backend,
+        tokenizer,
+        num_labels: int = 100,
+        max_text_len: int = 40,
+        canvas: Tuple[int, int] = (384, 640),
+        batch_size: int = 32,
+        seed: int = 0,
+        num_workers: int = 8,
+    ):
+        self.examples = list(examples)
+        self.backend = backend
+        self.tokenizer = tokenizer
+        self.num_labels = num_labels
+        self.max_text_len = max_text_len
+        self.canvas = canvas
+        self.batch_size = batch_size
+        self.seed = seed
+        self.pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+        self.task_key = None
+
+    # ClientData protocol ---------------------------------------------------
+    @property
+    def num_train_examples(self) -> int:
+        return len(self.examples)
+
+    @property
+    def num_eval_examples(self) -> int:
+        return len(self.examples)
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return len(self.examples) // self.batch_size
+
+    def _load_one(self, ex: VQAExample):
+        img = self.backend.load(ex.image_id)
+        pixels, mask = process_vilt_image(img, self.canvas)
+        return pixels, mask
+
+    def _make_batch(self, batch_ex: List[VQAExample], valid: Optional[np.ndarray] = None):
+        if self.pool is not None:
+            images = list(self.pool.map(self._load_one, batch_ex))
+        else:
+            images = [self._load_one(e) for e in batch_ex]
+        pixels = np.stack([p for p, _ in images])
+        masks = np.stack([m for _, m in images])
+        ids, attn = self.tokenizer.batch_encode(
+            [e.question for e in batch_ex], self.max_text_len
+        )
+        targets = np.stack(
+            [target_tensor(self.num_labels, e.labels, e.scores) for e in batch_ex]
+        )
+        batch = {
+            "input_ids": ids,
+            "attention_mask": attn,
+            "pixel_values": pixels,
+            "pixel_mask": masks,
+            "target_scores": targets,
+        }
+        if valid is not None:
+            batch["valid"] = valid
+        return batch
+
+    def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed * 1000 + epoch)
+        idx = rng.permutation(len(self.examples))
+        for s in range(self.steps_per_epoch):
+            sel = idx[s * self.batch_size : (s + 1) * self.batch_size]
+            yield self._make_batch([self.examples[i] for i in sel])
+
+    def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        n, bs = len(self.examples), self.batch_size
+        for s in range(0, n, bs):
+            chunk = self.examples[s : s + bs]
+            pad = bs - len(chunk)
+            valid = np.concatenate([np.ones(len(chunk)), np.zeros(pad)]).astype(np.float32)
+            chunk = chunk + [self.examples[0]] * pad
+            yield self._make_batch(chunk, valid)
+
+
+def prefetch_to_device(
+    it: Iterable[Dict[str, np.ndarray]], size: int = 2, devices=None
+) -> Iterator[Any]:
+    """Double-buffered async host->HBM staging.
+
+    A background thread keeps ``size`` batches in flight: ``jax.device_put``
+    is issued ahead of consumption so the DMA overlaps the previous step's
+    compute (the TPU replacement for torch DataLoader's pinned-memory
+    prefetch).
+    """
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    END = object()
+
+    def producer():
+        try:
+            for batch in it:
+                q.put(jax.device_put(batch))
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            break
+        yield item

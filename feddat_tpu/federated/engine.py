@@ -1,0 +1,214 @@
+"""Sequential federated engine — semantically exact port of the reference's
+communication-round loop (``src/train/main.py:453-558``).
+
+Per round, per client:
+  1. client params = server params with the client's personal partition
+     swapped in (replaces ``copy.deepcopy`` + name-matched restore,
+     ``main.py:472-478``);
+  2. DAT teacher refresh: ``adapter_2 <- adapter_1``
+     (``task_trainer.py:36-45``);
+  3. fresh AdamW + schedule (the reference rebuilds both inside
+     ``trainer.train`` every round, ``task_trainer.py:52-63``);
+  4. ``local_epochs`` epochs of (DAT or plain) train steps;
+  5. re-capture personal partition; harvest the communicated subtree.
+Then FedAvg over the harvested subtrees into the server params, and every
+``eval_every`` rounds an eval of each client's personalized model
+(``main.py:520-558``).
+
+This engine is the *reference semantics oracle*; the SPMD clients-mesh engine
+(``feddat_tpu/federated/spmd.py``) is the TPU-performance path and is tested
+for equivalence against this one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from feddat_tpu.configs.core import OptimizerConfig, PEFTMode, TrainConfig
+from feddat_tpu.federated.fedavg import fedavg
+from feddat_tpu.models.adapters import MODE_ENSEMBLE
+from feddat_tpu.peft.partition import (
+    comm_roles,
+    label_params,
+    personal_roles,
+    split_by_roles,
+    teacher_refresh,
+)
+from feddat_tpu.train.dat import (
+    Partitioner,
+    init_train_state,
+    make_dat_train_step,
+    make_plain_train_step,
+)
+from feddat_tpu.train.evaluation import evaluate, evaluate_dat, make_eval_step
+
+logger = logging.getLogger("feddat_tpu")
+
+
+@dataclasses.dataclass
+class ClientRuntime:
+    """Per-client compiled artifacts and data handles."""
+
+    task_key: str
+    data: Any  # ClientData protocol: train_batches/eval_batches/sizes
+    forward: Callable
+    partitioner: Partitioner
+    train_step: Callable
+    eval_step: Callable
+
+
+class FederatedTrainer:
+    """Drives communication rounds over a set of clients."""
+
+    def __init__(
+        self,
+        model,
+        params: Dict[str, Any],
+        clients: Dict[str, Any],
+        config: TrainConfig,
+        make_forward: Optional[Callable] = None,
+        metric: str = "vqa_score",
+    ):
+        self.model = model
+        self.config = config
+        self.mode = config.peft_mode
+        self.server_params = params
+        self.labels = label_params(params)
+        self._personal_roles = personal_roles(self.mode)
+        self._comm_roles = comm_roles(self.mode)
+        self.rng = jax.random.PRNGKey(config.seed)
+
+        if make_forward is None:
+            make_forward = self._default_vilt_forward
+
+        self.clients: List[ClientRuntime] = []
+        for task_key, data in clients.items():
+            forward = make_forward(model, task_key)
+            part = Partitioner(params, task_key, self.mode)
+            max_steps = data.steps_per_epoch * config.num_epochs
+            if self.mode == PEFTMode.DAT:
+                # no buffer donation here: the sequential engine's personal store and
+                # server tree intentionally alias client-param leaves (the SPMD
+                # engine is the donation-optimized path)
+                step = make_dat_train_step(forward, part, config.optimizer, max_steps, donate=False)
+            else:
+                adapter_mode = "adapter" if self.mode == PEFTMode.ADAPTER else "none"
+                step = make_plain_train_step(
+                    forward, part, config.optimizer, max_steps, adapter_mode, donate=False
+                )
+            self.clients.append(
+                ClientRuntime(
+                    task_key=task_key,
+                    data=data,
+                    forward=forward,
+                    partitioner=part,
+                    train_step=step,
+                    eval_step=make_eval_step(model, task_key, metric),
+                )
+            )
+
+        # Initial personal store: every client starts from the same init
+        # (reference captures it once before the round loop, main.py:440-450).
+        init_personal, _ = split_by_roles(params, self.labels, self._personal_roles)
+        self.personal: Dict[str, Dict[str, Any]] = {
+            c.task_key: jax.tree_util.tree_map(lambda x: x, init_personal)
+            for c in self.clients
+        }
+        self.history: List[Dict[str, Any]] = []
+
+    @staticmethod
+    def _default_vilt_forward(model, task_key):
+        from feddat_tpu.train.losses import bce_with_logits_vqa
+
+        def forward(p, batch, mode, dropout_rng):
+            _, logits = model.apply(
+                {"params": p},
+                task_key,
+                batch,
+                adapter_mode=mode,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return bce_with_logits_vqa(logits, batch["target_scores"]), logits
+
+        return forward
+
+    # -- internals ---------------------------------------------------------
+    def _client_params(self, client: ClientRuntime) -> Dict[str, Any]:
+        from feddat_tpu.peft.partition import merge
+
+        personal = self.personal[client.task_key]
+        _, rest = split_by_roles(self.server_params, self.labels, self._personal_roles)
+        params = merge(rest, personal)
+        if self.mode == PEFTMode.DAT:
+            params = teacher_refresh(params)
+        return params
+
+    def train_client(self, client: ClientRuntime, round_idx: int) -> Dict[str, Any]:
+        """One client's local training; returns its full post-training params."""
+        params = self._client_params(client)
+        self.rng, client_rng = jax.random.split(self.rng)
+        state = init_train_state(params, client.partitioner, self.config.optimizer, client_rng)
+        steps = 0
+        for epoch in range(self.config.federated.local_epochs):
+            for batch in client.data.train_batches(epoch=round_idx * 1000 + epoch):
+                state, metrics = client.train_step(state, batch)
+                steps += 1
+                if self.config.debug_steps and steps > self.config.debug_steps:
+                    break
+        return state.params
+
+    def run_round(self, round_idx: int) -> None:
+        t0 = time.time()
+        comm_subtrees = []
+        for client in self.clients:
+            trained = self.train_client(client, round_idx)
+            personal, _ = split_by_roles(trained, self.labels, self._personal_roles)
+            self.personal[client.task_key] = personal
+            comm, _ = split_by_roles(trained, self.labels, self._comm_roles)
+            comm_subtrees.append(comm)
+
+        if comm_subtrees and self._comm_roles:
+            weights = self.config.federated.client_weights
+            averaged = fedavg(comm_subtrees, weights)
+            from feddat_tpu.peft.partition import merge
+
+            _, rest = split_by_roles(self.server_params, self.labels, self._comm_roles)
+            self.server_params = merge(rest, averaged)
+        logger.info("round %d done in %.2fs", round_idx, time.time() - t0)
+
+    def evaluate_round(self, round_idx: int) -> Dict[str, Any]:
+        """Eval each client's personalized model (``main.py:520-558``)."""
+        from feddat_tpu.peft.partition import merge
+
+        results = {}
+        for client in self.clients:
+            params = self._client_params(client)
+            n = client.data.num_eval_examples
+            if self.mode == PEFTMode.DAT:
+                score = evaluate_dat(
+                    params, client.eval_step, client.data.eval_batches, n
+                )
+            elif self.mode == PEFTMode.ADAPTER:
+                score = evaluate(params, client.eval_step, client.data.eval_batches(), n, "adapter")
+            else:
+                score = evaluate(params, client.eval_step, client.data.eval_batches(), n, "none")
+            results[client.task_key] = score
+        entry = {"round": round_idx, "scores": results}
+        self.history.append(entry)
+        logger.info("eval %s", entry)
+        return entry
+
+    def run(self) -> List[Dict[str, Any]]:
+        rounds = self.config.federated.comm_rounds
+        for r in range(rounds):
+            self.run_round(r)
+            if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
+                self.evaluate_round(r)
+        return self.history

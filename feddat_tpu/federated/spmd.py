@@ -1,0 +1,337 @@
+"""SPMD federated engine — clients as a mesh axis.
+
+The TPU-performance path (SURVEY.md §2.7 "TPU-native equivalents"): instead
+of the reference's sequential Python loop over ``deepcopy``'d client models
+(``src/train/main.py:466-510``), ALL clients' local DAT training runs as one
+jitted ``shard_map`` program over a ``(client, data)`` mesh:
+
+  * backbone params: replicated (in_spec ``P()``);
+  * per-client partitions (shared copy, local, teacher, head) + optimizer
+    states: stacked with a leading ``[C]`` axis, sharded over ``client``;
+  * batches: ``[C, B, ...]``, sharded over ``(client, data)``;
+  * DP gradient sync inside a client: ``pmean`` over ``data`` (replaces
+    NCCL allreduce, ``task_trainer.py:302,323``);
+  * FedAvg: weighted mean over the stacked client axis — a single XLA
+    reduction over ICI (replaces ``get_average_net``, ``main.py:50-65``).
+
+Personal state stays device-resident and sharded between rounds: zero
+host<->device traffic for parameters during the whole experiment.
+
+Requirement: all clients share one head *shape* (true for the federated VQA
+benchmark: every client has ``num_labels=100``, ``task_configs_fed.py:44``),
+so heads stack into one bank.  Each client still trains and keeps its own
+head values — personalization semantics are identical to the sequential
+engine (tested for equivalence in ``tests/test_spmd.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from feddat_tpu.configs.core import OptimizerConfig, PEFTMode, TrainConfig
+from feddat_tpu.models.adapters import MODE_ENSEMBLE
+from feddat_tpu.parallel.mesh import CLIENT_AXIS, DATA_AXIS
+from feddat_tpu.peft.partition import label_params
+from feddat_tpu.train.dat import Partitioner, dat_step_core, init_train_state
+from feddat_tpu.train.state import TrainState
+
+FED_HEAD_KEY = "fed"  # all SPMD clients share the head module task_{FED_HEAD_KEY}
+
+
+def _stack_trees(trees: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+class SPMDFederatedTrainer:
+    """Runs federated DAT rounds as SPMD over a ``(client, data)`` mesh."""
+
+    def __init__(
+        self,
+        model,
+        params: Dict[str, Any],
+        clients: Sequence[Any],  # ordered ClientData, one per mesh client slot
+        config: TrainConfig,
+        mesh: Mesh,
+        make_forward: Optional[Callable] = None,
+    ):
+        if config.peft_mode != PEFTMode.DAT:
+            raise NotImplementedError("SPMD engine currently implements the DAT mode")
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.clients = list(clients)
+        C = mesh.shape[CLIENT_AXIS]
+        if len(self.clients) != C:
+            raise ValueError(f"{len(self.clients)} clients for client-axis size {C}")
+        self.num_clients = C
+
+        if make_forward is None:
+            make_forward = self._default_vilt_forward
+        forward = make_forward(model, FED_HEAD_KEY)
+
+        self.partitioner = Partitioner(params, FED_HEAD_KEY, config.peft_mode)
+        P_ = self.partitioner
+        from flax import traverse_util
+
+        flat_labels = traverse_util.flatten_dict(label_params(params))
+        self.teacher_paths = frozenset(p for p, l in flat_labels.items() if l == "teacher")
+        self.client_paths = frozenset(
+            P_.shared_paths | P_.local_paths | P_.head_paths | self.teacher_paths
+        )
+
+        # split template params into replicated backbone and per-client part
+        flat = traverse_util.flatten_dict(params)
+        client_part = traverse_util.unflatten_dict(
+            {p: flat[p] for p in self.client_paths}
+        )
+        self.backbone = traverse_util.unflatten_dict(
+            {p: v for p, v in flat.items() if p not in self.client_paths}
+        )
+        # every client starts from the same init (reference main.py:440-450)
+        self.client_state = _stack_trees([client_part] * C)
+
+        steps_per_epoch = min(c.steps_per_epoch for c in self.clients)
+        self.steps_per_round = steps_per_epoch * config.federated.local_epochs
+        max_steps = min(c.steps_per_epoch for c in self.clients) * config.num_epochs
+
+        core = dat_step_core(
+            forward, self.partitioner, config.optimizer, max_steps, data_axis=DATA_AXIS
+        )
+        tx_init = partial(init_train_state, partitioner=self.partitioner, opt_cfg=config.optimizer)
+
+        from flax import traverse_util as _tu
+
+        backbone_flat_paths = frozenset(_tu.flatten_dict(self.backbone).keys())
+
+        def merge_full(backbone, client_part):
+            flat = dict(_tu.flatten_dict(backbone))
+            flat.update(_tu.flatten_dict(client_part))
+            return _tu.unflatten_dict(flat)
+
+        def extract_client(full):
+            flat = _tu.flatten_dict(full)
+            return _tu.unflatten_dict({p: flat[p] for p in self.client_paths})
+
+        self._merge_full = merge_full
+        self._extract_client = extract_client
+
+        state_specs = None  # filled after first init
+
+        def slot_step(backbone, client_part, opt_states, sched_count, rng, batch):
+            """One DAT step for one (client, data) mesh slot."""
+            # strip the sharded leading client dim of size 1
+            client_part = jax.tree_util.tree_map(lambda x: x[0], client_part)
+            opt_states = jax.tree_util.tree_map(lambda x: x[0], opt_states)
+            sched_count = sched_count[0]
+            rng = rng[0]
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            params = merge_full(backbone, client_part)
+            state = TrainState(params=params, opt_states=opt_states, sched_count=sched_count, rng=rng)
+            new_state, metrics = core(state, batch)
+            new_client = extract_client(new_state.params)
+            expand = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
+            # metrics: mean over data axis so all slots agree, then [1] for client axis
+            metrics = jax.lax.pmean(metrics, DATA_AXIS)
+            return (
+                expand(new_client),
+                expand(new_state.opt_states),
+                new_state.sched_count[None],
+                new_state.rng[None],
+                expand(metrics),
+            )
+
+        in_specs = (
+            P(),  # backbone replicated
+            P(CLIENT_AXIS),  # client part stacked
+            P(CLIENT_AXIS),  # opt states
+            P(CLIENT_AXIS),  # sched counts
+            P(CLIENT_AXIS),  # rngs
+            P(CLIENT_AXIS, DATA_AXIS),  # batch [C, B, ...]
+        )
+        out_specs = (P(CLIENT_AXIS), P(CLIENT_AXIS), P(CLIENT_AXIS), P(CLIENT_AXIS), P(CLIENT_AXIS))
+
+        self._spmd_step = jax.jit(
+            shard_map(
+                slot_step,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_rep=False,
+            ),
+            donate_argnums=(2, 3, 4),  # client_state kept undonated: fedavg/teacher-refresh outputs may alias
+        )
+
+        # eval: per-slot masked score sum
+        def slot_eval(backbone, client_part, batch, mode):
+            client_part = jax.tree_util.tree_map(lambda x: x[0], client_part)
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            params = merge_full(backbone, client_part)
+            _, logits = model.apply(
+                {"params": params}, FED_HEAD_KEY, batch, adapter_mode=mode, deterministic=True
+            )
+            from feddat_tpu.data.vqa_scoring import compute_score_with_logits
+
+            per = compute_score_with_logits(logits, batch["target_scores"])
+            if "valid" in batch:
+                per = per * batch["valid"]
+            s = jnp.sum(per)
+            s = jax.lax.psum(s, DATA_AXIS)
+            return s[None]
+
+        def make_eval(mode):
+            return jax.jit(
+                shard_map(
+                    partial(slot_eval, mode=mode),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(CLIENT_AXIS), P(CLIENT_AXIS, DATA_AXIS)),
+                    out_specs=P(CLIENT_AXIS),
+                    check_rep=False,
+                )
+            )
+
+        self._eval_steps = {
+            mode: make_eval(mode) for mode in (MODE_ENSEMBLE, "adapter_0", "adapter_1")
+        }
+
+        # FedAvg over the stacked client axis: one XLA reduction.
+        weights = config.federated.client_weights
+        if weights is None:
+            w = jnp.ones((C,), jnp.float32) / C
+        else:
+            w = jnp.asarray(weights, jnp.float32)
+            w = w / jnp.sum(w)
+        shared_paths = P_.shared_paths
+
+        @jax.jit
+        def fedavg_stacked(client_state):
+            flat = _tu.flatten_dict(client_state)
+            out = dict(flat)
+            for p in shared_paths:
+                leaf = flat[p]
+                wshape = (C,) + (1,) * (leaf.ndim - 1)
+                avg = jnp.sum(leaf * w.reshape(wshape), axis=0)
+                out[p] = jnp.broadcast_to(avg[None], leaf.shape)
+            return _tu.unflatten_dict(out)
+
+        self._fedavg = fedavg_stacked
+
+        @jax.jit
+        def refresh_teacher_stacked(client_state):
+            """adapter_2 <- adapter_1 per client (task_trainer.py:36-45)."""
+            flat = _tu.flatten_dict(client_state)
+            out = dict(flat)
+            for p in self.teacher_paths:
+                src = tuple(str(s).replace("adapter_2", "adapter_1") for s in p)
+                if src in flat:
+                    out[p] = flat[src]
+            return _tu.unflatten_dict(out)
+
+        self._teacher_refresh = refresh_teacher_stacked
+
+        self.rng = jax.random.PRNGKey(config.seed)
+        self.history: List[Dict[str, Any]] = []
+
+    @staticmethod
+    def _default_vilt_forward(model, task_key):
+        from feddat_tpu.train.losses import bce_with_logits_vqa
+
+        def forward(p, batch, mode, dropout_rng):
+            _, logits = model.apply(
+                {"params": p},
+                task_key,
+                batch,
+                adapter_mode=mode,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return bce_with_logits_vqa(logits, batch["target_scores"]), logits
+
+        return forward
+
+    # -- data staging ------------------------------------------------------
+    def _stacked_train_batches(self, round_idx: int):
+        """Zip per-client iterators into [C, B, ...] host batches, truncated
+        to the minimum step count (heterogeneous client sizes; SURVEY.md
+        §7.3 'Client heterogeneity vs SPMD')."""
+        for epoch in range(self.config.federated.local_epochs):
+            its = [c.train_batches(epoch=round_idx * 1000 + epoch) for c in self.clients]
+            while True:
+                try:
+                    batches = [next(it) for it in its]
+                except StopIteration:
+                    break
+                yield {
+                    k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
+                }
+
+    def _fresh_opt_and_clocks(self):
+        template = self._merge_full(
+            self.backbone, jax.tree_util.tree_map(lambda x: x[0], self.client_state)
+        )
+        st = init_train_state(
+            template, self.partitioner, self.config.optimizer, jax.random.PRNGKey(0)
+        )
+        opt = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (self.num_clients,) + x.shape), st.opt_states
+        )
+        counts = jnp.zeros((self.num_clients,), jnp.int32)
+        self.rng, sub = jax.random.split(self.rng)
+        rngs = jax.random.split(sub, self.num_clients)
+        return opt, counts, rngs
+
+    # -- rounds ------------------------------------------------------------
+    def run_round(self, round_idx: int) -> Dict[str, float]:
+        self.client_state = self._teacher_refresh(self.client_state)
+        opt, counts, rngs = self._fresh_opt_and_clocks()
+        last_metrics = None
+        for batch in self._stacked_train_batches(round_idx):
+            self.client_state, opt, counts, rngs, last_metrics = self._spmd_step(
+                self.backbone, self.client_state, opt, counts, rngs, batch
+            )
+        self.client_state = self._fedavg(self.client_state)
+        if last_metrics is None:
+            return {}
+        return {k: np.asarray(v).mean() for k, v in last_metrics.items()}
+
+    def evaluate_round(self, round_idx: int) -> Dict[str, Any]:
+        """Per-client scores [ensemble, adapter_0, adapter_1] like the
+        reference's DAT eval (``task_trainer.py:229-244``)."""
+        totals = {m: np.zeros(self.num_clients) for m in self._eval_steps}
+        counts = np.array([c.num_eval_examples for c in self.clients], dtype=np.float64)
+        for mode, fn in self._eval_steps.items():
+            its = [c.eval_batches() for c in self.clients]
+            while True:
+                try:
+                    batches = [next(it) for it in its]
+                except StopIteration:
+                    break
+                stacked = {
+                    k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
+                }
+                totals[mode] += np.asarray(fn(self.backbone, self.client_state, stacked))
+        scores = {
+            c.task_key: [
+                float(totals[m][i] / counts[i] * 100.0)
+                for m in (MODE_ENSEMBLE, "adapter_0", "adapter_1")
+            ]
+            for i, c in enumerate(self.clients)
+        }
+        entry = {"round": round_idx, "scores": scores}
+        self.history.append(entry)
+        return entry
+
+    def run(self) -> List[Dict[str, Any]]:
+        rounds = self.config.federated.comm_rounds
+        for r in range(rounds):
+            self.run_round(r)
+            if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
+                self.evaluate_round(r)
+        return self.history

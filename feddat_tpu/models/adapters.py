@@ -1,0 +1,113 @@
+"""Bottleneck adapter cell — the heart of DAT.
+
+Functional re-design of the reference's mutable ``Adapter`` module
+(``src/modeling/models/adapter.py:16-163``): instead of
+``set_active_adapter`` / ``activate_gating`` object mutation, the active
+adapter ("mode") is a *static argument* to a pure ``__call__``.  Each mode
+traces to its own XLA program; inactive adapters simply do not appear in the
+graph, so their gradients are structurally zero (replacing the reference's
+``requires_grad`` toggling and DDP ``find_unused_parameters`` workaround).
+
+Modes:
+  * ``"none"``        — identity (no adapter in the graph).
+  * ``"<name>"``      — single active adapter: ``residual + up(relu(down(z)))``
+                        (reference ``adapter.py:126-131``).
+  * ``"ensemble"``    — fixed 0.5/0.5 mix of adapters {0, 2} when a frozen
+                        teacher ``adapter_2`` exists, else {0, 1}
+                        (reference ``adapter.py:133-162``; the learned gate is
+                        dead code, the live path uses constant weights).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from feddat_tpu.configs.core import AdapterSpec
+
+MODE_NONE = "none"
+MODE_ENSEMBLE = "ensemble"
+# Used only during ``model.init``: touches every named adapter so that the
+# parameter tree is identical for all modes (jit cache reuse + partitioning).
+MODE_INIT = "init_all"
+
+
+def ensemble_members(names: Sequence[str]) -> tuple[str, str]:
+    """Which two adapters the gated forward mixes (reference ``adapter.py:133-162``)."""
+    if "adapter_2" in names:
+        return ("adapter_0", "adapter_2")
+    return ("adapter_0", "adapter_1")
+
+
+class AdapterCell(nn.Module):
+    """All named adapters at one insertion site.
+
+    Parameters per name: ``{name}_down`` (d -> d/r) and ``{name}_up``
+    (d/r -> d), BERT-init (normal std 0.02, zero bias;
+    reference ``adapter.py:5-13``).
+    """
+
+    spec: AdapterSpec
+    model_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def delta(self, z: jnp.ndarray, mode: str) -> jnp.ndarray:
+        """The additive adapter update for hidden states ``z``.
+
+        Callers compose this with their own residual/LayerNorm convention:
+        ViLT-style sites do ``h + delta(h)``; BERT-style sites sandwich it
+        between LayerNorms (see ``xbert.py`` port).
+        """
+        if mode == MODE_NONE or not self.spec.enabled:
+            return jnp.zeros_like(z)
+
+        bottleneck = self.model_dim // self.spec.reduction_factor
+        kernel_init = nn.initializers.normal(stddev=0.02)
+
+        def one(name: str) -> jnp.ndarray:
+            down = nn.Dense(
+                bottleneck,
+                kernel_init=kernel_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name=f"{name}_down",
+            )
+            up = nn.Dense(
+                self.model_dim,
+                kernel_init=kernel_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name=f"{name}_up",
+            )
+            return up(nn.relu(down(z)))
+
+        # Materialize every named adapter's params regardless of mode so the
+        # param tree is mode-independent (required for jit cache reuse and
+        # for FedAvg/personalization partitioning).  Only the active branch
+        # contributes to the output graph.
+        outs = {name: one(name) for name in self.spec.names}
+
+        if mode == MODE_INIT:
+            # Average of all adapters; only ever traced by ``init``.
+            return sum(outs.values()) / len(outs)
+
+        if mode == MODE_ENSEMBLE:
+            a, b = ensemble_members(self.spec.names)
+            w = self.spec.ensemble_weight
+            return (w * outs[a] + (1.0 - w) * outs[b]) * self.spec.scaling
+
+        if mode not in outs:
+            raise ValueError(
+                f"Unknown adapter mode {mode!r}; have {tuple(outs)} + "
+                f"('{MODE_NONE}', '{MODE_ENSEMBLE}')"
+            )
+        return outs[mode]
+
+    def __call__(self, hidden_states: jnp.ndarray, residual: jnp.ndarray, mode: str) -> jnp.ndarray:
+        """ViLT-style application: ``residual + delta(hidden_states)``
+        (reference ``adapter.py:124-131``, where callers pass
+        ``adapter(h, h)``)."""
+        return residual + self.delta(hidden_states, mode)

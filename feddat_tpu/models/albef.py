@@ -1,0 +1,258 @@
+"""ALBEF: ViT-B/16 visual encoder + fusion-BERT question encoder + 6-layer
+LM answer decoder.
+
+Behavioral port of the reference's ``ALBEF`` core + wrapper
+(``src/modeling/models/albef_model.py:12-237``, ``src/modeling/albef.py``):
+
+  * train: weighted per-answer LM loss, normalized by image-batch size
+    (``albef_model.py:94-145``); optional momentum distillation
+    (EMA twins, momentum 0.995, ``albef_model.py:44-57, 158-169``) mixing
+    ``(1-a)*CE + a*soft_CE`` (``xbert.py:1290-1302``);
+  * eval: ``rank_answer`` two-stage top-k answer ranking over a fixed answer
+    list (``albef_model.py:171-228``);
+  * adapters at all 30 layer sites (12 ViT blocks + 12 encoder layers + 6
+    decoder layers) via the same static ``adapter_mode``.
+
+TPU-first deviations:
+  * tokenization happens in the host pipeline (never in ``__call__``,
+    unlike ``albef.py:56-57``);
+  * ragged per-question answer sets are padded to a static ``[B, A]`` bank
+    with zero weights (reference flattens ragged lists with counts ``k``,
+    ``albef_model.py:94-98``) — identical loss, static shapes;
+  * momentum twins are an explicit second param pytree + a functional EMA
+    update, not module copies.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from feddat_tpu.configs.core import AlbefBertConfig, AlbefModelConfig
+from feddat_tpu.models.vit import VisionTransformer
+from feddat_tpu.models.xbert import XBertLMHead, XBertModel
+
+
+def decoder_config(cfg: AlbefModelConfig) -> AlbefBertConfig:
+    """fusion_layer=0, num_layers=6 (``albef_model.py:31-33``)."""
+    import dataclasses
+
+    return dataclasses.replace(cfg.bert, fusion_layer=0, num_layers=cfg.decoder_layers)
+
+
+def shifted_lm_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    soft_labels: Optional[jnp.ndarray] = None,
+    alpha: float = 0.0,
+) -> jnp.ndarray:
+    """Per-sequence next-token loss (``xbert.py:1290-1302``).
+
+    logits [N, L, V]; labels [N, L] with -100 = ignore.  Returns [N] (sum of
+    token losses per sequence).  With ``soft_labels`` [N, L-1, V]:
+    ``(1-alpha)*CE + alpha * (-sum(log_softmax * soft))`` per token.
+    """
+    shifted = logits[:, :-1, :].astype(jnp.float32)
+    tgt = labels[:, 1:]
+    valid = tgt != -100
+    safe_tgt = jnp.where(valid, tgt, 0)
+    logp = jax.nn.log_softmax(shifted, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_tgt[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    ce = jnp.sum(nll, axis=-1)
+    if soft_labels is None:
+        return ce
+    distill = -jnp.sum(logp * soft_labels, axis=-1)
+    distill = jnp.sum(jnp.where(valid, distill, 0.0), axis=-1)
+    return (1.0 - alpha) * ce + alpha * distill
+
+
+class AlbefModel(nn.Module):
+    """The composite model.  All public methods take a static
+    ``adapter_mode`` and flow it to every adapter site."""
+
+    cfg: AlbefModelConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        self.visual_encoder = VisionTransformer(self.cfg, self.dtype, self.attn_impl)
+        self.text_encoder = XBertModel(
+            self.cfg.bert,
+            adapter=self.cfg.adapter,
+            lora=self.cfg.lora,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+        self.text_decoder = XBertLMHead(
+            decoder_config(self.cfg),
+            adapter=self.cfg.adapter,
+            lora=self.cfg.lora,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+
+    # -- building blocks ---------------------------------------------------
+    def encode_question(
+        self, pixel_values, question_ids, question_mask, adapter_mode="none", deterministic=True
+    ):
+        """image -> ViT; question x image -> fusion encoder
+        (``albef_model.py:71-88``).  Returns question token states [B, Lq, D]."""
+        image_embeds = self.visual_encoder(
+            pixel_values, adapter_mode=adapter_mode, deterministic=deterministic
+        )
+        return self.text_encoder(
+            question_ids,
+            question_mask,
+            encoder_hidden_states=image_embeds,
+            encoder_attention_mask=None,  # all-ones over image tokens
+            mode="multi_modal",
+            adapter_mode=adapter_mode,
+            deterministic=deterministic,
+        )
+
+    def decode_logits(
+        self,
+        answer_ids,
+        answer_mask,
+        question_states,
+        question_atts,
+        adapter_mode="none",
+        deterministic=True,
+    ):
+        return self.text_decoder(
+            answer_ids,
+            answer_mask,
+            encoder_hidden_states=question_states,
+            encoder_attention_mask=question_atts,
+            adapter_mode=adapter_mode,
+            deterministic=deterministic,
+        )
+
+    # -- train -------------------------------------------------------------
+    def __call__(
+        self,
+        batch: Dict[str, Any],
+        adapter_mode: str = "none",
+        deterministic: bool = False,
+        soft_logits: Optional[jnp.ndarray] = None,
+        alpha: float = 0.0,
+        pad_token_id: int = 0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Training forward -> (loss, shifted logits).
+
+        Batch: pixel_values [B,H,W,3], question_ids/mask [B,Lq],
+        answer_ids/mask [B,A,La], answer_weights [B,A] (0 = padded slot).
+        """
+        q_states = self.encode_question(
+            batch["pixel_values"],
+            batch["question_ids"],
+            batch["question_mask"],
+            adapter_mode,
+            deterministic,
+        )
+        B, A, La = batch["answer_ids"].shape
+        ans_ids = batch["answer_ids"].reshape(B * A, La)
+        ans_mask = batch["answer_mask"].reshape(B * A, La)
+        weights = batch["answer_weights"].reshape(B * A)
+        # repeat question states per answer slot (dense analogue of
+        # ``albef_model.py:92-98``)
+        q_rep = jnp.repeat(q_states, A, axis=0)
+        q_att_rep = jnp.repeat(batch["question_mask"], A, axis=0)
+
+        logits = self.decode_logits(
+            ans_ids, ans_mask, q_rep, q_att_rep, adapter_mode, deterministic
+        )
+        targets = jnp.where(ans_ids == pad_token_id, -100, ans_ids)
+        soft = None
+        if soft_logits is not None:
+            soft = jax.nn.softmax(soft_logits.astype(jnp.float32), axis=-1)
+        seq_loss = shifted_lm_loss(logits, targets, soft, alpha)
+        loss = jnp.sum(weights * seq_loss) / B
+        return loss, logits[:, :-1, :]
+
+    def forward_train_logits(self, batch, adapter_mode="none", deterministic=True):
+        """Twin (momentum) forward: shifted logits only
+        (``return_logits=True`` path, ``albef_model.py:116-121``)."""
+        q_states = self.encode_question(
+            batch["pixel_values"],
+            batch["question_ids"],
+            batch["question_mask"],
+            adapter_mode,
+            deterministic,
+        )
+        B, A, La = batch["answer_ids"].shape
+        ans_ids = batch["answer_ids"].reshape(B * A, La)
+        ans_mask = batch["answer_mask"].reshape(B * A, La)
+        q_rep = jnp.repeat(q_states, A, axis=0)
+        q_att_rep = jnp.repeat(batch["question_mask"], A, axis=0)
+        logits = self.decode_logits(ans_ids, ans_mask, q_rep, q_att_rep, adapter_mode, deterministic)
+        return logits[:, :-1, :]
+
+    # -- eval --------------------------------------------------------------
+    def rank_answer(
+        self,
+        batch: Dict[str, Any],
+        answer_ids: jnp.ndarray,  # [num_answers, La], CLS-prefixed
+        answer_mask: jnp.ndarray,
+        k: int = 64,
+        adapter_mode: str = "none",
+        pad_token_id: int = 0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Two-stage top-k answer ranking (``albef_model.py:171-228``).
+
+        Stage 1: decode BOS only, rank answers by first-token probability.
+        Stage 2: fully decode the k candidates, re-rank by total sequence
+        log-prob (which, as in the reference, adds the stage-1 first-token
+        log-prob to the full-sequence loss).  Static shapes throughout:
+        ``k`` and ``num_answers`` are static.
+        """
+        q_states = self.encode_question(
+            batch["pixel_values"],
+            batch["question_ids"],
+            batch["question_mask"],
+            adapter_mode,
+            deterministic=True,
+        )
+        B = q_states.shape[0]
+        num_answers = answer_ids.shape[0]
+        bos = answer_ids[0, 0]
+
+        start_ids = jnp.full((B, 1), bos, dtype=answer_ids.dtype)
+        start_logits = self.decode_logits(
+            start_ids,
+            jnp.ones((B, 1), jnp.int32),
+            q_states,
+            batch["question_mask"],
+            adapter_mode,
+            deterministic=True,
+        )[:, 0, :]
+        first_token = answer_ids[:, 1]
+        probs = jax.nn.softmax(start_logits.astype(jnp.float32), axis=-1)
+        prob_first = probs[:, first_token]  # [B, num_answers]
+        topk_probs, topk_ids = jax.lax.top_k(prob_first, k)
+
+        cand_ids = answer_ids[topk_ids.reshape(-1)]  # [B*k, La]
+        cand_mask = answer_mask[topk_ids.reshape(-1)]
+        q_rep = jnp.repeat(q_states, k, axis=0)
+        q_att_rep = jnp.repeat(batch["question_mask"], k, axis=0)
+        logits = self.decode_logits(cand_ids, cand_mask, q_rep, q_att_rep, adapter_mode, True)
+        targets = jnp.where(cand_ids == pad_token_id, -100, cand_ids)
+        seq_loss = shifted_lm_loss(logits, targets)  # [B*k]
+
+        log_probs = jnp.log(topk_probs.reshape(-1)) - seq_loss
+        log_probs = log_probs.reshape(B, k)
+        rerank_probs = jax.nn.softmax(log_probs, axis=-1)
+        final_probs, rerank_id = jax.lax.top_k(rerank_probs, k)
+        final_ids = jnp.take_along_axis(topk_ids, rerank_id, axis=1)
+        return final_ids, final_probs
+
+
+def momentum_update(params, momentum_params, momentum: float = 0.995):
+    """EMA twin update (``albef_model.py:165-169``), as a pure tree op."""
+    return jax.tree_util.tree_map(
+        lambda m, p: m * momentum + p * (1.0 - momentum), momentum_params, params
+    )

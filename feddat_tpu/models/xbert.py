@@ -1,0 +1,309 @@
+"""Fusion BERT ("xBERT") — ALBEF's multimodal text encoder / answer decoder.
+
+Re-implements the behavior of the reference's vendored ``xbert.py``
+(``src/modeling/models/xbert.py:170-1913``) as flax modules:
+
+  * post-LN BERT layers; layers ``>= fusion_layer`` additionally
+    cross-attend to image states (``xbert.py:456-459``; fusion_layer=6 via
+    ``model_configs.py:58``); cross-attention K/V are sized by
+    ``encoder_width`` (``xbert.py:235-240``);
+  * encoder ``mode`` in {"text", "fusion", "multi_modal"} slices the layer
+    range (``xbert.py:554-564``);
+  * the DAT adapter slot lives in every FFN output with the pre/post
+    LayerNorm sandwich (``xbert.py:429-445``, ``adapter.py:97-116``):
+        r = dropout(dense(ffn));  z = LN(r + attn_out)
+        a = r + adapter.delta(z); out = LN(a + attn_out)
+  * ``XBertLMHead`` = 6-layer decoder (fusion_layer=0 -> cross everywhere)
+    with causal self-attention + BERT prediction head; the shifted
+    weighted-CE / soft-label distillation loss lives in
+    :mod:`feddat_tpu.models.albef` (``xbert.py:1290-1302``).
+
+TPU-first: the two homogeneous layer groups (text-only / fusion) are
+``nn.scan``-stacked, so each group compiles once and its adapter params carry
+a leading layer axis for structural partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from feddat_tpu.configs.core import AdapterSpec, AlbefBertConfig, LoraSpec
+from feddat_tpu.models.adapters import AdapterCell
+from feddat_tpu.models.layers import MultiHeadAttention
+from feddat_tpu.ops.attention import causal_bias, mask_to_bias
+
+
+class XBertEmbeddings(nn.Module):
+    cfg: AlbefBertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, deterministic=True):
+        c = self.cfg
+        init = nn.initializers.normal(stddev=c.initializer_range)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        x = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=init, dtype=self.dtype, name="word_embeddings")(input_ids)
+        x = x + nn.Embed(
+            c.max_position_embeddings, c.hidden_size, embedding_init=init, dtype=self.dtype, name="position_embeddings"
+        )(jnp.arange(input_ids.shape[1])[None, :])
+        x = x + nn.Embed(
+            c.type_vocab_size, c.hidden_size, embedding_init=init, dtype=self.dtype, name="token_type_embeddings"
+        )(token_type_ids)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="norm")(x)
+        return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+
+
+class XBertLayer(nn.Module):
+    """One post-LN BERT layer with optional cross-attention and the adapter
+    LN-sandwich at the FFN output."""
+
+    cfg: AlbefBertConfig
+    has_cross: bool
+    adapter: AdapterSpec
+    lora: LoraSpec = LoraSpec()
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        self_bias,
+        enc_states=None,
+        enc_bias=None,
+        adapter_mode: str = "none",
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+
+        def residual_block(h, inner, name):
+            out = nn.Dropout(c.hidden_dropout)(inner, deterministic=deterministic)
+            return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name=name)(out + h)
+
+        # self-attention (causal bias supplied by the decoder caller)
+        attn = MultiHeadAttention(
+            c.hidden_size,
+            c.num_heads,
+            dropout_rate=c.attention_dropout,
+            lora=self.lora,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="attention",
+        )(x, bias=self_bias, deterministic=deterministic)
+        h = residual_block(x, attn, "attention_norm")
+
+        if self.has_cross:
+            cross = MultiHeadAttention(
+                c.hidden_size,
+                c.num_heads,
+                dropout_rate=c.attention_dropout,
+                lora=self.lora,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name="crossattention",
+            )(h, kv=enc_states, bias=enc_bias, deterministic=deterministic)
+            h = residual_block(h, cross, "crossattention_norm")
+
+        # FFN with adapter LN-sandwich
+        init = nn.initializers.normal(stddev=c.initializer_range)
+        inter = nn.Dense(c.intermediate_size, kernel_init=init, dtype=self.dtype, name="intermediate")(h)
+        inter = nn.gelu(inter, approximate=False)
+        o = nn.Dense(c.hidden_size, kernel_init=init, dtype=self.dtype, name="output")(inter)
+        o = nn.Dropout(c.hidden_dropout)(o, deterministic=deterministic)
+        out_norm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="output_norm")
+        if self.adapter.enabled:
+            cell = AdapterCell(self.adapter, c.hidden_size, self.dtype, name="adapter")
+            r = o
+            z = out_norm(o + h)
+            a = r + cell.delta(z, adapter_mode)
+            return out_norm(a + h)
+        return out_norm(o + h)
+
+
+class XBertEncoder(nn.Module):
+    """Layer stack with the fusion split: scan of text-only layers, then scan
+    of cross-attending fusion layers (``mode`` slices which groups run)."""
+
+    cfg: AlbefBertConfig
+    adapter: AdapterSpec
+    lora: LoraSpec = LoraSpec()
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+    decoder_causal: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        self_bias,
+        enc_states=None,
+        enc_bias=None,
+        mode: str = "multi_modal",
+        adapter_mode: str = "none",
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        n_text = c.fusion_layer
+        n_fusion = c.num_layers - c.fusion_layer
+
+        def make_scan(has_cross, length, name):
+            layer_kwargs = dict(
+                cfg=c,
+                has_cross=has_cross,
+                adapter=self.adapter,
+                lora=self.lora,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+            )
+
+            class _Body(nn.Module):
+                @nn.compact
+                def __call__(self, carry, ctx):
+                    sb, eb, enc = ctx
+                    out = XBertLayer(**layer_kwargs, name="layer")(
+                        carry,
+                        sb,
+                        enc_states=enc if has_cross else None,
+                        enc_bias=eb if has_cross else None,
+                        adapter_mode=adapter_mode,
+                        deterministic=deterministic,
+                    )
+                    return out, None
+
+            return nn.scan(
+                _Body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=length,
+            )(name=name)
+
+        ctx = (self_bias, enc_bias, enc_states)
+        if mode in ("text", "multi_modal") and n_text > 0:
+            x, _ = make_scan(False, n_text, "text_layers")(x, ctx)
+        if mode in ("fusion", "multi_modal") and n_fusion > 0:
+            x, _ = make_scan(True, n_fusion, "fusion_layers")(x, ctx)
+        return x
+
+
+class XBertModel(nn.Module):
+    """Embeddings + encoder (reference ``BertModel`` without pooler —
+    ALBEF loads it with ``add_pooling_layer=False``, ``albef_model.py:41``)."""
+
+    cfg: AlbefBertConfig
+    adapter: AdapterSpec = AdapterSpec()
+    lora: LoraSpec = LoraSpec()
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+    is_decoder: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        token_type_ids=None,
+        encoder_hidden_states=None,
+        encoder_attention_mask=None,
+        mode: str = "multi_modal",
+        adapter_mode: str = "none",
+        deterministic: bool = True,
+        inputs_embeds=None,
+    ):
+        c = self.cfg
+        if inputs_embeds is None:
+            x = XBertEmbeddings(c, self.dtype, name="embeddings")(
+                input_ids, token_type_ids, deterministic
+            )
+        else:
+            x = inputs_embeds
+        self_bias = mask_to_bias(attention_mask, jnp.float32)
+        if self.is_decoder:
+            self_bias = self_bias + causal_bias(x.shape[1], jnp.float32)
+        enc_bias = None
+        if encoder_hidden_states is not None:
+            if encoder_attention_mask is None:
+                encoder_attention_mask = jnp.ones(
+                    encoder_hidden_states.shape[:2], dtype=jnp.int32
+                )
+            enc_bias = mask_to_bias(encoder_attention_mask, jnp.float32)
+        return XBertEncoder(
+            c,
+            self.adapter,
+            self.lora,
+            self.dtype,
+            self.attn_impl,
+            name="encoder",
+        )(
+            x,
+            self_bias,
+            enc_states=encoder_hidden_states,
+            enc_bias=enc_bias,
+            mode=mode,
+            adapter_mode=adapter_mode,
+            deterministic=deterministic,
+        )
+
+
+class BertPredictionHead(nn.Module):
+    """transform(dense+gelu+LN) + vocab projection (reference ``BertOnlyMLMHead``)."""
+
+    cfg: AlbefBertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        c = self.cfg
+        init = nn.initializers.normal(stddev=c.initializer_range)
+        h = nn.Dense(c.hidden_size, kernel_init=init, dtype=self.dtype, name="transform_dense")(hidden)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="transform_norm")(h)
+        return nn.Dense(c.vocab_size, kernel_init=init, dtype=self.dtype, name="decoder")(h)
+
+
+class XBertLMHead(nn.Module):
+    """The 6-layer answer decoder (``BertLMHeadModel`` with fusion_layer=0,
+    num_hidden_layers=6 — ``albef_model.py:31-33``): causal self-attention,
+    cross-attention to question states in every layer, prediction head.
+
+    Returns token logits [B, L, vocab]; sequence losses are computed by the
+    caller (``feddat_tpu.models.albef``)."""
+
+    cfg: AlbefBertConfig  # already respecialized: fusion_layer=0, num_layers=6
+    adapter: AdapterSpec = AdapterSpec()
+    lora: LoraSpec = LoraSpec()
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        encoder_hidden_states,
+        encoder_attention_mask=None,
+        adapter_mode: str = "none",
+        deterministic: bool = True,
+    ):
+        hidden = XBertModel(
+            self.cfg,
+            self.adapter,
+            self.lora,
+            self.dtype,
+            self.attn_impl,
+            is_decoder=True,
+            name="bert",
+        )(
+            input_ids,
+            attention_mask,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=encoder_attention_mask,
+            mode="multi_modal",
+            adapter_mode=adapter_mode,
+            deterministic=deterministic,
+        )
+        return BertPredictionHead(self.cfg, self.dtype, name="cls")(hidden)

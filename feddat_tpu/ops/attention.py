@@ -1,0 +1,109 @@
+"""Attention core, behind a swappable-kernel interface.
+
+The reference computes attention through cuDNN-backed ``nn.Linear`` + matmuls
+(HF ViLT internals; ``src/modeling/models/vit.py:60-76``;
+``src/modeling/models/xbert.py:235-330``).  Here the projections live in the
+flax layers and the softmax(QK^T)V core is routed through this module so the
+implementation can switch between a pure-XLA path (lets XLA fuse; best for
+short multimodal sequences) and a Pallas flash-attention kernel
+(``feddat_tpu.ops.flash``) for long sequences — without any model change.
+SURVEY.md §5.7: keeping attention behind this interface is what lets
+blockwise/long-context variants slot in later.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    scale: float,
+    dropout_rate: float,
+    dropout_rng,
+) -> jnp.ndarray:
+    """Reference XLA path.  q,k,v: [B, H, S, D] (q: S_q, k/v: S_kv)."""
+    # fp32 softmax accumulation regardless of compute dtype — matches the
+    # MXU's native bf16-in/fp32-accumulate and keeps parity with the
+    # reference's fp16-autocast-with-fp32-softmax behavior.
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention core.
+
+    Args:
+      q: [B, H, S_q, D]
+      k, v: [B, H, S_kv, D]
+      bias: additive attention bias broadcastable to [B, H, S_q, S_kv]
+        (use large negative values for masked positions).
+      scale: defaults to D ** -0.5.
+      impl: "auto" | "xla" | "flash".
+
+    Returns: [B, H, S_q, D] in v.dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl in ("auto", "xla"):
+        # Multimodal VQA sequences are short (<= ~620 tokens); the fused-XLA
+        # path saturates the MXU there.  "flash" switches to the Pallas
+        # kernel (long-sequence path).
+        if impl == "auto" or impl == "xla":
+            return _xla_attention(
+                q, k, v, bias, scale=scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng
+            )
+    if impl == "flash":
+        from feddat_tpu.ops.flash import flash_attention
+
+        if dropout_rate > 0.0:
+            raise NotImplementedError("flash path does not support attn dropout")
+        return flash_attention(q, k, v, bias, scale=scale)
+    raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, S] {0,1} padding mask -> additive [B, 1, 1, S] bias.
+
+    Uses the same -10000.0 fill as BERT/ViLT's ``get_extended_attention_mask``
+    so logits match the reference bit-for-bit in fp32.
+    """
+    bias = (1.0 - mask.astype(jnp.float32)) * -10000.0
+    return bias[:, None, None, :].astype(dtype)
+
+
+def causal_bias(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive causal mask [1, 1, S, S] (for the ALBEF answer decoder)."""
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    allowed = j <= i
+    bias = jnp.where(allowed, 0.0, -10000.0)
+    return bias[None, None, :, :].astype(dtype)

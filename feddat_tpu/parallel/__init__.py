@@ -1,0 +1,3 @@
+from feddat_tpu.parallel.mesh import make_mesh
+
+__all__ = ["make_mesh"]

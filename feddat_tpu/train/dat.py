@@ -1,0 +1,249 @@
+"""Train-step builders: DAT + Mutual-KD, and the single-update baselines.
+
+The reference's DAT step (``task_trainer.py:280-330``) is three forwards and
+two backward/optimizer-steps per batch, sequenced through object mutation:
+
+  ① gating on  -> ensemble {adapter_0, adapter_2} forward, no grad -> logits_all
+  ② gating off -> adapter_1 forward; L1 = (task_loss + KL(l1 ‖ sg(l_all)))/2;
+     backward; AdamW step (adapter_1 + active head); scheduler tick
+  ③ gating on  -> ensemble forward; L0 = (task_loss + KL(l0 ‖ sg(l1)))/2;
+     backward; AdamW step (adapter_0 + active head); scheduler tick
+
+Here the whole thing is ONE jitted function: adapter selection is a static
+``adapter_mode`` argument, the two masked updates are two optax partitions
+(shared / local) plus a head partition whose Adam state advances twice per
+batch (exactly torch's per-param step counting), and stop-gradients replace
+``.clone().detach()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, FrozenSet, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from feddat_tpu.configs.core import OptimizerConfig, PEFTMode
+from feddat_tpu.models.adapters import MODE_ENSEMBLE
+from feddat_tpu.peft.partition import (
+    ROLE_HEAD,
+    ROLE_LOCAL,
+    ROLE_SHARED,
+    label_params,
+    trainable_roles,
+)
+from feddat_tpu.train.losses import kd_kl_loss
+from feddat_tpu.train.optim import adamw_direction, apply_direction, polynomial_schedule
+from feddat_tpu.train.state import TrainState
+
+# forward(params, batch, adapter_mode, dropout_rng) -> (task_loss, logits)
+ForwardFn = Callable[[Dict[str, Any], Dict[str, Any], str, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+class Partitioner:
+    """Static path-set partitioning of a parameter tree for one client.
+
+    Partitions: ``shared`` (role adapter_1/comm subset), ``local``
+    (adapter_0), ``head`` (the *active* task's head only — the reference
+    updates only the head that receives gradients; other clients' heads must
+    not be touched by weight decay), ``frozen`` (everything else).
+    """
+
+    def __init__(self, params: Dict[str, Any], task_key: str, mode: PEFTMode):
+        labels = label_params(params)
+        flat_labels = traverse_util.flatten_dict(labels)
+        self.mode = mode
+        head_tag = f"task_{task_key}"
+
+        def joined(path):
+            return "/".join(str(p) for p in path)
+
+        self.head_paths = frozenset(
+            p for p, l in flat_labels.items() if l == ROLE_HEAD and head_tag in joined(p)
+        )
+        if mode == PEFTMode.DAT:
+            self.shared_paths = frozenset(p for p, l in flat_labels.items() if l == ROLE_SHARED)
+            self.local_paths = frozenset(p for p, l in flat_labels.items() if l == ROLE_LOCAL)
+        else:
+            roles = trainable_roles(mode) - {ROLE_HEAD}
+            self.shared_paths = frozenset(p for p, l in flat_labels.items() if l in roles)
+            self.local_paths = frozenset()
+
+    def extract(self, params: Dict[str, Any], paths: FrozenSet[Tuple]) -> Dict[str, Any]:
+        flat = traverse_util.flatten_dict(params)
+        return traverse_util.unflatten_dict({p: flat[p] for p in paths})
+
+    def merge_into(self, params: Dict[str, Any], sub: Dict[str, Any]) -> Dict[str, Any]:
+        flat = dict(traverse_util.flatten_dict(params))
+        flat.update(traverse_util.flatten_dict(sub))
+        return traverse_util.unflatten_dict(flat)
+
+
+def init_train_state(
+    params: Dict[str, Any],
+    partitioner: Partitioner,
+    opt_cfg: OptimizerConfig,
+    rng: jnp.ndarray,
+) -> TrainState:
+    tx = adamw_direction(opt_cfg)
+    opt_states = {}
+    if partitioner.mode == PEFTMode.DAT:
+        opt_states["shared"] = tx.init(partitioner.extract(params, partitioner.shared_paths))
+        opt_states["local"] = tx.init(partitioner.extract(params, partitioner.local_paths))
+        opt_states["head"] = tx.init(partitioner.extract(params, partitioner.head_paths))
+    else:
+        opt_states["trainable"] = tx.init(
+            partitioner.extract(params, partitioner.shared_paths | partitioner.head_paths)
+        )
+    return TrainState(
+        params=params,
+        opt_states=opt_states,
+        sched_count=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+
+
+def dat_step_core(
+    forward: ForwardFn,
+    partitioner: Partitioner,
+    opt_cfg: OptimizerConfig,
+    max_steps: int,
+    data_axis: str | None = None,
+):
+    """The un-jitted DAT step; ``data_axis`` enables gradient ``pmean`` over a
+    mesh axis for data parallelism inside ``shard_map`` (the TPU-native
+    replacement for the reference's DDP allreduce,
+    ``task_trainer.py:302,323``)."""
+    tx = adamw_direction(opt_cfg)
+    schedule = polynomial_schedule(opt_cfg, max_steps)
+    P = partitioner
+
+    def maybe_pmean(tree):
+        if data_axis is None:
+            return tree
+        return jax.lax.pmean(tree, data_axis)
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        rng, d0, d1, d2 = jax.random.split(state.rng, 4)
+        params = state.params
+
+        # ① ensemble forward (teacher+local mix), gradients stopped.
+        _, logits_all = forward(params, batch, MODE_ENSEMBLE, d0)
+        logits_all = jax.lax.stop_gradient(logits_all)
+
+        # ② shared-adapter update.
+        shared = P.extract(params, P.shared_paths)
+        head = P.extract(params, P.head_paths)
+
+        def loss1(shared_p, head_p):
+            full = P.merge_into(P.merge_into(params, shared_p), head_p)
+            task_loss, logits = forward(full, batch, "adapter_1", d1)
+            kl = kd_kl_loss(logits, logits_all)
+            return (task_loss + kl) / 2.0, (task_loss, logits)
+
+        (l1, (task_l1, logits_1)), grads1 = jax.value_and_grad(
+            loss1, argnums=(0, 1), has_aux=True
+        )(shared, head)
+        grads1 = maybe_pmean(grads1)
+        lr1 = schedule(state.sched_count)
+        new_shared, opt_shared = apply_direction(tx, grads1[0], state.opt_states["shared"], shared, lr1)
+        head, opt_head = apply_direction(tx, grads1[1], state.opt_states["head"], head, lr1)
+        params = P.merge_into(P.merge_into(params, new_shared), head)
+        logits_1 = jax.lax.stop_gradient(logits_1)
+
+        # ③ local-adapter update through the ensemble forward.
+        local = P.extract(params, P.local_paths)
+
+        def loss0(local_p, head_p):
+            full = P.merge_into(P.merge_into(params, local_p), head_p)
+            task_loss, logits = forward(full, batch, MODE_ENSEMBLE, d2)
+            kl = kd_kl_loss(logits, logits_1)
+            return (task_loss + kl) / 2.0, (task_loss, logits)
+
+        (l0, (task_l0, _)), grads0 = jax.value_and_grad(
+            loss0, argnums=(0, 1), has_aux=True
+        )(local, head)
+        grads0 = maybe_pmean(grads0)
+        lr0 = schedule(state.sched_count + 1)
+        new_local, opt_local = apply_direction(tx, grads0[0], state.opt_states["local"], local, lr0)
+        head, opt_head = apply_direction(tx, grads0[1], opt_head, head, lr0)
+        params = P.merge_into(P.merge_into(params, new_local), head)
+
+        new_state = TrainState(
+            params=params,
+            opt_states={"shared": opt_shared, "local": opt_local, "head": opt_head},
+            sched_count=state.sched_count + 2,
+            rng=rng,
+        )
+        metrics = {"loss": l0, "loss_shared": l1, "task_loss": task_l0, "lr": lr0}
+        return new_state, metrics
+
+    return step
+
+
+def make_dat_train_step(
+    forward: ForwardFn,
+    partitioner: Partitioner,
+    opt_cfg: OptimizerConfig,
+    max_steps: int,
+    donate: bool = True,
+):
+    """Returns jitted ``step(state, batch) -> (state, metrics)``.
+
+    Exact-parity notes vs ``task_trainer.py:280-330``:
+      * logits_all and logits_1 enter the KD losses through stop_gradient
+        (torch ``.clone().detach()``);
+      * update ② trains {adapter_1, head} at lr = schedule(c); update ③
+        trains {adapter_0, head} at lr = schedule(c+1); c advances by 2;
+      * the head's Adam moments/step advance in both updates (torch keeps a
+        single per-param state across both ``optimizer.step()`` calls).
+    """
+    step = dat_step_core(forward, partitioner, opt_cfg, max_steps)
+    if donate:
+        return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step)
+
+
+def make_plain_train_step(
+    forward: ForwardFn,
+    partitioner: Partitioner,
+    opt_cfg: OptimizerConfig,
+    max_steps: int,
+    adapter_mode: str = "none",
+    donate: bool = True,
+):
+    """Single fwd/bwd/update step for all non-DAT modes
+    (reference ``task_trainer.py:433-450``)."""
+    tx = adamw_direction(opt_cfg)
+    schedule = polynomial_schedule(opt_cfg, max_steps)
+    P = partitioner
+    paths = P.shared_paths | P.head_paths
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        rng, dropout_rng = jax.random.split(state.rng)
+        params = state.params
+        trainable = P.extract(params, paths)
+
+        def loss_fn(train_p):
+            full = P.merge_into(params, train_p)
+            task_loss, logits = forward(full, batch, adapter_mode, dropout_rng)
+            return task_loss, logits
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        lr = schedule(state.sched_count)
+        new_trainable, opt_state = apply_direction(
+            tx, grads, state.opt_states["trainable"], trainable, lr
+        )
+        params = P.merge_into(params, new_trainable)
+        new_state = TrainState(
+            params=params,
+            opt_states={"trainable": opt_state},
+            sched_count=state.sched_count + 1,
+            rng=rng,
+        )
+        return new_state, {"loss": loss, "lr": lr}
+
+    if donate:
+        return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step)

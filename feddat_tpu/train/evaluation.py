@@ -1,0 +1,77 @@
+"""Evaluation loops.
+
+Parity with the reference's ``eval`` / ``eval_one_loader``
+(``task_trainer.py:113-246``): VQA soft score (ViLT classification) with
+exact example counting, plus the DAT 3-mode protocol
+[ensemble, adapter_0-only, adapter_1-only] (``task_trainer.py:229-244``).
+
+TPU-first: batches are padded to a fixed size with a ``valid`` mask; the
+masked sum replaces the reference's gather + last-batch truncation
+(``task_trainer.py:129-156``) with identical results.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, List, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feddat_tpu.data.vqa_scoring import batch_accuracy, compute_score_with_logits
+from feddat_tpu.models.adapters import MODE_ENSEMBLE
+
+
+def make_eval_step(model, task_key: str, metric: str = "vqa_score"):
+    """Jitted ``(params, batch, adapter_mode static) -> masked per-batch score sum``."""
+
+    def score_fn(logits, batch):
+        if metric == "vqa_score":
+            per = compute_score_with_logits(logits, batch["target_scores"])
+        elif metric == "accuracy":
+            per = batch_accuracy(logits, batch["labels"])
+        else:
+            raise ValueError(metric)
+        valid = batch.get("valid")
+        if valid is not None:
+            per = per * valid.astype(per.dtype)
+        return jnp.sum(per)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("adapter_mode",))
+    def step(params, batch, adapter_mode="none"):
+        _, logits = model.apply(
+            {"params": params}, task_key, batch, adapter_mode=adapter_mode, deterministic=True
+        )
+        return score_fn(logits, batch)
+
+    return step
+
+
+def evaluate(
+    params,
+    eval_step,
+    batches: Iterable[Dict[str, Any]],
+    num_examples: int,
+    adapter_mode: str = "none",
+) -> float:
+    """Score sum over loader / num_examples * 100 (``task_trainer.py:157``)."""
+    total = 0.0
+    for batch in batches:
+        total += float(eval_step(params, batch, adapter_mode=adapter_mode))
+    return total / max(1, num_examples) * 100.0
+
+
+def evaluate_dat(
+    params,
+    eval_step,
+    batches_factory: Callable[[], Iterable[Dict[str, Any]]],
+    num_examples: int,
+) -> List[float]:
+    """DAT eval protocol (``task_trainer.py:229-244``):
+    [gated ensemble, adapter_0 only, adapter_1 only]."""
+    scores = []
+    for mode in (MODE_ENSEMBLE, "adapter_0", "adapter_1"):
+        scores.append(evaluate(params, eval_step, batches_factory(), num_examples, mode))
+    return scores

@@ -1,0 +1,133 @@
+"""Data layer: tokenizer, normalization, ingestion, pipeline shapes."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from feddat_tpu.data.datasets import (
+    VQAExample,
+    build_examples_from_json,
+    load_examples,
+)
+from feddat_tpu.data.text import normalize_word, pre_question
+from feddat_tpu.data.tokenizer import WordPieceTokenizer
+
+
+def test_pre_question_reference_behavior():
+    # lowercase, punctuation stripped, dash/slash to space, truncation
+    assert pre_question("What IS the man's dog-color?", 30) == "what is the mans dog color"
+    assert pre_question("a b c d e", 3) == "a b c"
+
+
+def test_normalize_word_vqa_eval_rules():
+    assert normalize_word("The dog.") == "dog"
+    assert normalize_word("two") == "2"
+    assert normalize_word("dont") == "don't"
+    assert normalize_word("a cat, a hat") == "cat hat"
+
+
+def test_wordpiece_tokenizer_roundtrip():
+    tok = WordPieceTokenizer.toy(["what", "is", "the", "dog", "color"])
+    ids = tok.encode("What is the dog color", max_length=16)
+    assert ids[0] == tok.cls_token_id and ids[-1] == tok.sep_token_id
+    assert tok.decode(ids) == "what is the dog color"
+    # unknown word decomposes into char pieces, not UNK, if chars present
+    pieces = tok.tokenize("dogs")
+    assert pieces[0] == "dog" and pieces[1] == "##s"
+
+
+def test_wordpiece_batch_encode_fixed_shapes():
+    tok = WordPieceTokenizer.toy(["what", "is", "this"])
+    ids, mask = tok.batch_encode(["what is this", "what"], max_length=8)
+    assert ids.shape == (2, 8) and mask.shape == (2, 8)
+    assert mask[0].sum() == 5 and mask[1].sum() == 3  # CLS + toks + SEP
+
+
+def _write_raw_json(tmpdir, task_key="toronto"):
+    questions = [
+        {"question_id": 1, "question": "what color", "image": "imgs/pic_7.jpg"},
+        {"question_id": 2, "question": "how many", "image": "imgs/pic_8.jpg"},
+    ]
+    annos = [
+        {"question_id": 1, "image": "imgs/pic_7.jpg", "answer": ["red", "red", "blue"]},
+        {"question_id": 2, "image": "imgs/pic_8.jpg", "answer": ["2"]},
+    ]
+    qf = os.path.join(tmpdir, "q.json")
+    af = os.path.join(tmpdir, "a.json")
+    json.dump(questions, open(qf, "w"))
+    json.dump(annos, open(af, "w"))
+    return qf, af
+
+
+def test_build_examples_from_json_scores(tmp_path):
+    qf, af = _write_raw_json(str(tmp_path))
+    ans2label = {"red": 0, "blue": 1, "2": 2}
+    # toronto uses uniform 1/count scores (reference rule)
+    ex = build_examples_from_json(qf, af, ans2label, "toronto")
+    assert len(ex) == 2
+    e1 = ex[0]
+    assert e1.image_id == "pic_7"
+    assert set(zip(e1.labels, e1.scores)) == {(0, 0.5), (1, 1.0)}
+    # other tasks use the VQA occurrence table
+    ex2 = build_examples_from_json(qf, af, ans2label, "vizwiz_like")
+    assert set(zip(ex2[0].labels, ex2[0].scores)) == {(0, 0.6), (1, 0.3)}
+
+
+def test_load_examples_cached_pickle(tmp_path):
+    data = [
+        {
+            "question_id": 5,
+            "image_id": "x",
+            "question": "q?",
+            "labels": [3],
+            "scores": [1.0],
+            "answers": ["yes"],
+        }
+    ]
+    cache_dir = tmp_path / "cached_vqa_data"
+    cache_dir.mkdir()
+    with open(cache_dir / "vqa_train_fed.pkl", "wb") as f:
+        pickle.dump(data, f)
+    ex = load_examples("abstract", str(tmp_path), "train", data_root=str(tmp_path))
+    assert len(ex) == 1 and ex[0].labels == [3]
+
+
+def test_vilt_pipeline_shapes(tmp_path):
+    from PIL import Image
+
+    from feddat_tpu.data.images import VizwizBackend
+    from feddat_tpu.data.pipeline import ViltVQAPipeline
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    for i in range(5):
+        Image.new("RGB", (100 + i * 30, 80), (i * 20, 0, 0)).save(root / f"im{i}.jpg")
+
+    examples = [
+        VQAExample(i, f"im{i}.jpg", f"question {i}", [i % 3], [1.0], ["a"])
+        for i in range(5)
+    ]
+    tok = WordPieceTokenizer.toy(["question", "0", "1", "2", "3", "4"])
+    pipe = ViltVQAPipeline(
+        examples,
+        VizwizBackend(str(root)),
+        tok,
+        num_labels=4,
+        max_text_len=8,
+        canvas=(64, 96),
+        batch_size=2,
+        num_workers=2,
+    )
+    batches = list(pipe.train_batches(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["pixel_values"].shape == (2, 64, 96, 3)
+    assert b["pixel_mask"].shape == (2, 64, 96)
+    assert b["input_ids"].shape == (2, 8)
+    assert b["target_scores"].shape == (2, 4)
+    evals = list(pipe.eval_batches())
+    assert len(evals) == 3
+    assert evals[-1]["valid"].sum() == 1  # 5 examples, last batch has 1 valid
