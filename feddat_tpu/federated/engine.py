@@ -74,7 +74,12 @@ class FederatedTrainer:
         config: TrainConfig,
         make_forward: Optional[Callable] = None,
         metric: str = "vqa_score",
+        make_eval: Optional[Callable] = None,
     ):
+        """``make_forward(model, task_key) -> forward`` and
+        ``make_eval(model, task_key) -> eval_step`` customize the model
+        family (ViLT default; ALBEF passes ``make_albef_eval_step`` bound to
+        each task's answer bank)."""
         self.model = model
         self.config = config
         self.mode = config.peft_mode
@@ -109,7 +114,11 @@ class FederatedTrainer:
                     forward=forward,
                     partitioner=part,
                     train_step=step,
-                    eval_step=make_eval_step(model, task_key, metric),
+                    eval_step=(
+                        make_eval(model, task_key)
+                        if make_eval is not None
+                        else make_eval_step(model, task_key, metric)
+                    ),
                 )
             )
 

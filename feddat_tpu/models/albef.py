@@ -96,6 +96,7 @@ class AlbefModel(nn.Module):
         )
 
     # -- building blocks ---------------------------------------------------
+    @nn.compact
     def encode_question(
         self, pixel_values, question_ids, question_mask, adapter_mode="none", deterministic=True
     ):
@@ -104,6 +105,16 @@ class AlbefModel(nn.Module):
         image_embeds = self.visual_encoder(
             pixel_values, adapter_mode=adapter_mode, deterministic=deterministic
         )
+        if self.cfg.prompt.enabled:
+            # Visual prompt tuning: splice after the ViT CLS token
+            # (reference ``prompted_output.py:3-10``).
+            from feddat_tpu.models.prompts import ReparamPrompt, splice_after_cls
+
+            prompt = ReparamPrompt(
+                self.cfg.prompt, self.cfg.vision_width, self.dtype, name="prompt_vis"
+            )()
+            dummy_mask = jnp.ones(image_embeds.shape[:2], jnp.int32)
+            image_embeds, _ = splice_after_cls(image_embeds, dummy_mask, prompt)
         return self.text_encoder(
             question_ids,
             question_mask,
@@ -249,6 +260,17 @@ class AlbefModel(nn.Module):
         final_probs, rerank_id = jax.lax.top_k(rerank_probs, k)
         final_ids = jnp.take_along_axis(topk_ids, rerank_id, axis=1)
         return final_ids, final_probs
+
+
+def init_albef_params(model: AlbefModel, rng, train_batch):
+    """Jitted init covering all adapter sites (MODE_INIT) + decoder head."""
+    import jax
+
+    from feddat_tpu.models.adapters import MODE_INIT
+
+    return jax.jit(
+        lambda r, b: model.init(r, b, adapter_mode=MODE_INIT, deterministic=True)
+    )(rng, train_batch)["params"]
 
 
 def momentum_update(params, momentum_params, momentum: float = 0.995):

@@ -165,6 +165,34 @@ class ViltEncoder(nn.Module):
             pixel_values, deterministic
         )
 
+        image_mask_base = None
+        if pixel_mask is None:
+            image_mask_base = jnp.ones((image.shape[0], image.shape[1]), dtype=attention_mask.dtype)
+        else:
+            # Patch-level mask from a pixel-level mask (fixed canvas): a patch
+            # is valid iff any covered pixel is valid; CLS always valid.
+            ph = c.image_size[0] // c.patch_size
+            pw = c.image_size[1] // c.patch_size
+            pm = pixel_mask.reshape(
+                pixel_mask.shape[0], ph, c.patch_size, pw, c.patch_size
+            ).max(axis=(2, 4))
+            patch_mask = pm.reshape(pixel_mask.shape[0], -1).astype(attention_mask.dtype)
+            cls_mask = jnp.ones((image.shape[0], 1), dtype=attention_mask.dtype)
+            image_mask_base = jnp.concatenate([cls_mask, patch_mask], axis=1)
+
+        if c.prompt.enabled:
+            # Prompt tuning: splice reparameterized prompts after CLS in both
+            # streams (reference ``prompted_output.py:243-262``).
+            from feddat_tpu.models.prompts import ReparamPrompt, splice_after_cls
+
+            text_prompt = ReparamPrompt(c.prompt, c.hidden_size, self.dtype, name="prompt_text")()
+            vis_prompt = ReparamPrompt(c.prompt, c.hidden_size, self.dtype, name="prompt_vis")()
+            text, attention_mask = splice_after_cls(text, attention_mask, text_prompt)
+            image, image_mask_base = splice_after_cls(image, image_mask_base, vis_prompt)
+            input_ids = jnp.zeros(
+                (text.shape[0], text.shape[1]), dtype=input_ids.dtype
+            )  # only its shape feeds the modality-type lookup below
+
         # Modality-type embeddings: 0 = text, 1 = image, 2 = second image.
         modality = nn.Embed(
             c.modality_type_vocab_size,
@@ -178,20 +206,7 @@ class ViltEncoder(nn.Module):
         image = image + modality(img_type)
 
         x = jnp.concatenate([text, image], axis=1)
-        if pixel_mask is None:
-            image_mask = jnp.ones((image.shape[0], image.shape[1]), dtype=attention_mask.dtype)
-        else:
-            # Patch-level mask from a pixel-level mask (fixed canvas): a patch
-            # is valid iff any covered pixel is valid; CLS always valid.
-            ph = c.image_size[0] // c.patch_size
-            pw = c.image_size[1] // c.patch_size
-            pm = pixel_mask.reshape(
-                pixel_mask.shape[0], ph, c.patch_size, pw, c.patch_size
-            ).max(axis=(2, 4))
-            patch_mask = pm.reshape(pixel_mask.shape[0], -1).astype(attention_mask.dtype)
-            cls_mask = jnp.ones((image.shape[0], 1), dtype=attention_mask.dtype)
-            image_mask = jnp.concatenate([cls_mask, patch_mask], axis=1)
-        mask = jnp.concatenate([attention_mask, image_mask], axis=1)
+        mask = jnp.concatenate([attention_mask, image_mask_base], axis=1)
         bias = mask_to_bias(mask, jnp.float32)
 
         layer_kwargs = dict(

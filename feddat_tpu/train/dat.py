@@ -59,8 +59,14 @@ class Partitioner:
         def joined(path):
             return "/".join(str(p) for p in path)
 
+        # ViLT heads are per-task modules (only the active task's head may be
+        # touched by this client's optimizer); ALBEF's single LM prediction
+        # head (``.cls.``) is the personal head for every client
+        # (reference ``main.py:127-130``).
         self.head_paths = frozenset(
-            p for p, l in flat_labels.items() if l == ROLE_HEAD and head_tag in joined(p)
+            p
+            for p, l in flat_labels.items()
+            if l == ROLE_HEAD and (head_tag in joined(p) or "cls" in joined(p).split("/"))
         )
         if mode == PEFTMode.DAT:
             self.shared_paths = frozenset(p for p, l in flat_labels.items() if l == ROLE_SHARED)
@@ -175,6 +181,7 @@ def dat_step_core(
             opt_states={"shared": opt_shared, "local": opt_local, "head": opt_head},
             sched_count=state.sched_count + 2,
             rng=rng,
+            aux=state.aux,
         )
         metrics = {"loss": l0, "loss_shared": l1, "task_loss": task_l0, "lr": lr0}
         return new_state, metrics
@@ -212,9 +219,15 @@ def make_plain_train_step(
     max_steps: int,
     adapter_mode: str = "none",
     donate: bool = True,
+    aux_forward: bool = False,
 ):
     """Single fwd/bwd/update step for all non-DAT modes
-    (reference ``task_trainer.py:433-450``)."""
+    (reference ``task_trainer.py:433-450``).
+
+    With ``aux_forward`` the forward has signature
+    ``(params, batch, mode, rng, aux) -> (loss, logits, aux)`` and the aux
+    state (e.g. ALBEF momentum twins) is threaded through ``state.aux``.
+    """
     tx = adamw_direction(opt_cfg)
     schedule = polynomial_schedule(opt_cfg, max_steps)
     P = partitioner
@@ -227,10 +240,16 @@ def make_plain_train_step(
 
         def loss_fn(train_p):
             full = P.merge_into(params, train_p)
-            task_loss, logits = forward(full, batch, adapter_mode, dropout_rng)
-            return task_loss, logits
+            if aux_forward:
+                task_loss, logits, new_aux = forward(
+                    full, batch, adapter_mode, dropout_rng, state.aux
+                )
+            else:
+                task_loss, logits = forward(full, batch, adapter_mode, dropout_rng)
+                new_aux = state.aux
+            return task_loss, (logits, new_aux)
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        (loss, (_, new_aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
         lr = schedule(state.sched_count)
         new_trainable, opt_state = apply_direction(
             tx, grads, state.opt_states["trainable"], trainable, lr
@@ -241,6 +260,7 @@ def make_plain_train_step(
             opt_states={"trainable": opt_state},
             sched_count=state.sched_count + 1,
             rng=rng,
+            aux=new_aux,
         )
         return new_state, {"loss": loss, "lr": lr}
 

@@ -49,6 +49,44 @@ def make_eval_step(model, task_key: str, metric: str = "vqa_score"):
     return step
 
 
+def make_albef_eval_step(model, answer_ids, answer_mask, k: int = 64, pad_token_id: int = 0):
+    """ALBEF rank-answer eval step (``task_trainer.py:159-204``): top-1 of
+    the reranked candidates hits any ground-truth label -> 1 point.
+
+    ``answer_ids/mask``: the task's tokenized answer bank [num_answers, La].
+    Returns jitted ``(params, batch, adapter_mode) -> masked hit-count``.
+    """
+    import jax.numpy as jnp
+    from functools import partial
+
+    from feddat_tpu.models.albef import AlbefModel
+
+    answer_ids = jnp.asarray(answer_ids)
+    answer_mask = jnp.asarray(answer_mask)
+
+    @partial(jax.jit, static_argnames=("adapter_mode",))
+    def step(params, batch, adapter_mode="none"):
+        topk_ids, topk_probs = model.apply(
+            {"params": params},
+            batch,
+            answer_ids,
+            answer_mask,
+            k,
+            adapter_mode,
+            pad_token_id,
+            method=AlbefModel.rank_answer,
+        )
+        pred = topk_ids[:, 0]  # rerank output is sorted descending
+        gt = batch["gt_labels"]  # [B, G], -1 padded
+        hit = jnp.any((pred[:, None] == gt) & (gt >= 0), axis=1).astype(jnp.float32)
+        valid = batch.get("valid")
+        if valid is not None:
+            hit = hit * valid
+        return jnp.sum(hit)
+
+    return step
+
+
 def evaluate(
     params,
     eval_step,

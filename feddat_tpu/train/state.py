@@ -27,3 +27,6 @@ class TrainState:
     opt_states: Dict[str, Any]
     sched_count: jnp.ndarray
     rng: jnp.ndarray
+    # Optional auxiliary model state threaded through the step — used for
+    # ALBEF's momentum-distillation twin params (``albef_model.py:44-57``).
+    aux: Any = None

@@ -1,0 +1,149 @@
+"""ALBEF model family: forward, DAT step, rank_answer, momentum distill
+(reference ``src/modeling/models/albef_model.py``)."""
+
+import collections
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from feddat_tpu.configs.core import (
+    AdapterSpec,
+    AlbefBertConfig,
+    AlbefModelConfig,
+    OptimizerConfig,
+    PEFTMode,
+)
+from feddat_tpu.data.synthetic import SyntheticAlbefClient
+from feddat_tpu.models.albef import AlbefModel, init_albef_params, momentum_update
+from feddat_tpu.peft.partition import label_params
+from feddat_tpu.train.dat import Partitioner, init_train_state, make_dat_train_step
+from feddat_tpu.train.forwards import make_albef_forward
+
+TINY_BERT = AlbefBertConfig(
+    vocab_size=64,
+    hidden_size=32,
+    num_layers=4,
+    num_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=16,
+    hidden_dropout=0.0,
+    attention_dropout=0.0,
+    fusion_layer=2,
+)
+TINY_ALBEF = AlbefModelConfig(
+    image_res=32,
+    patch_size=16,
+    vision_width=32,
+    vision_layers=2,
+    vision_heads=4,
+    bert=TINY_BERT,
+    decoder_layers=2,
+    adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
+)
+
+
+@pytest.fixture(scope="module")
+def albef_setup():
+    client = SyntheticAlbefClient(
+        task_key="c0", num_train=16, num_eval=8, num_answers=8, vocab_size=64,
+        question_len=6, answer_len=4, image_size=(32, 32), batch_size=4, seed=0,
+    )
+    model = AlbefModel(TINY_ALBEF)
+    batch = next(client.train_batches(0))
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch)
+    return model, params, client
+
+
+def test_train_forward_shapes_and_loss(albef_setup):
+    model, params, client = albef_setup
+    batch = next(client.train_batches(0))
+    loss, logits = jax.jit(
+        lambda p, b: model.apply({"params": p}, b, adapter_mode="ensemble", deterministic=True)
+    )(params, batch)
+    B, A, La = batch["answer_ids"].shape
+    assert logits.shape == (B * A, La - 1, TINY_BERT.vocab_size)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_albef_dat_step_decreases_loss_and_partitions(albef_setup):
+    model, params, client = albef_setup
+    batch = next(client.train_batches(0))
+    forward = make_albef_forward(model)
+    part = Partitioner(params, "fed", PEFTMode.DAT)
+    assert part.head_paths, "decoder cls head must be in the head partition"
+    opt = OptimizerConfig(lr=5e-3)
+    state = init_train_state(params, part, opt, jax.random.PRNGKey(0))
+    step = make_dat_train_step(forward, part, opt, max_steps=200, donate=False)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+    f0 = traverse_util.flatten_dict(params)
+    f1 = traverse_util.flatten_dict(state.params)
+    fl = traverse_util.flatten_dict(label_params(params))
+    changed = collections.Counter()
+    for k in f0:
+        if not np.allclose(np.asarray(f0[k]), np.asarray(f1[k])):
+            changed[fl[k]] += 1
+    assert set(changed) == {"shared", "local", "head"}, dict(changed)
+
+
+def test_rank_answer_contract(albef_setup):
+    model, params, client = albef_setup
+    batch = next(client.eval_batches())
+    k = 4
+    ids, probs = jax.jit(
+        lambda p, b: model.apply(
+            {"params": p},
+            b,
+            jnp.asarray(client.answer_ids),
+            jnp.asarray(client.answer_mask),
+            k,
+            "ensemble",
+            0,
+            method=AlbefModel.rank_answer,
+        )
+    )(params, batch)
+    B = batch["question_ids"].shape[0]
+    assert ids.shape == (B, k) and probs.shape == (B, k)
+    assert np.all((np.asarray(ids) >= 0) & (np.asarray(ids) < client.num_answers))
+    p = np.asarray(probs)
+    assert np.all(np.diff(p, axis=1) <= 1e-6), "rerank probs must be sorted desc"
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_albef_eval_step_counts_hits(albef_setup):
+    from feddat_tpu.train.evaluation import make_albef_eval_step
+
+    model, params, client = albef_setup
+    step = make_albef_eval_step(model, client.answer_ids, client.answer_mask, k=4)
+    total = 0.0
+    for batch in client.eval_batches():
+        total += float(step(params, batch, adapter_mode="ensemble"))
+    assert 0.0 <= total <= client.num_eval
+
+
+def test_momentum_distill_forward(albef_setup):
+    from feddat_tpu.train.forwards import make_albef_distill_forward
+
+    model, params, client = albef_setup
+    batch = next(client.train_batches(0))
+    batch = dict(batch, alpha=0.4)
+    fwd = make_albef_distill_forward(model)
+    aux0 = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), params)
+    loss, logits, aux1 = jax.jit(lambda p, b, a: fwd(p, b, "ensemble", jax.random.PRNGKey(0), a))(
+        params, batch, aux0
+    )
+    assert np.isfinite(float(loss))
+    # EMA moved the zero twin toward the params
+    leaf0 = traverse_util.flatten_dict(aux1)
+    leafp = traverse_util.flatten_dict(params)
+    key = next(iter(leafp))
+    np.testing.assert_allclose(
+        np.asarray(leaf0[key]), np.asarray(leafp[key]) * (1 - TINY_ALBEF.momentum), rtol=1e-5
+    )
