@@ -75,6 +75,8 @@ class FederatedTrainer:
         make_forward: Optional[Callable] = None,
         metric: str = "vqa_score",
         make_eval: Optional[Callable] = None,
+        checkpoint_dir: Optional[str] = None,
+        metrics_logger=None,
     ):
         """``make_forward(model, task_key) -> forward`` and
         ``make_eval(model, task_key) -> eval_step`` customize the model
@@ -130,6 +132,8 @@ class FederatedTrainer:
             for c in self.clients
         }
         self.history: List[Dict[str, Any]] = []
+        self.checkpoint_dir = checkpoint_dir
+        self.metrics = metrics_logger
 
     @staticmethod
     def _default_vilt_forward(model, task_key):
@@ -169,6 +173,9 @@ class FederatedTrainer:
             for batch in client.data.train_batches(epoch=round_idx * 1000 + epoch):
                 state, metrics = client.train_step(state, batch)
                 steps += 1
+                if self.metrics is not None:
+                    bs = next(iter(batch.values())).shape[0]
+                    self.metrics.step(metrics, bs, client.task_key)
                 if self.config.debug_steps and steps > self.config.debug_steps:
                     break
         return state.params
@@ -212,12 +219,44 @@ class FederatedTrainer:
         entry = {"round": round_idx, "scores": results}
         self.history.append(entry)
         logger.info("eval %s", entry)
+        if self.metrics is not None:
+            self.metrics.round(round_idx, results, 0.0)
         return entry
 
-    def run(self) -> List[Dict[str, Any]]:
+    # -- checkpoint / resume (real persistence the reference lacks,
+    #    SURVEY.md §5.4) -----------------------------------------------------
+    def save_checkpoint(self, round_idx: int) -> Optional[str]:
+        if not self.checkpoint_dir:
+            return None
+        from feddat_tpu.utils.checkpointing import save_federated_state
+
+        return save_federated_state(
+            self.checkpoint_dir, round_idx, self.server_params, self.personal, self.rng
+        )
+
+    def try_resume(self) -> int:
+        """Restore the latest checkpoint; returns the next round index."""
+        if not self.checkpoint_dir:
+            return 0
+        from feddat_tpu.utils.checkpointing import restore_federated_state
+
+        restored = restore_federated_state(self.checkpoint_dir)
+        if restored is None:
+            return 0
+        rnd, server, personal, rng = restored
+        self.server_params = server
+        self.personal = personal
+        self.rng = rng
+        logger.info("resumed from checkpoint at round %d", rnd)
+        return rnd + 1
+
+    def run(self, resume: bool = True) -> List[Dict[str, Any]]:
         rounds = self.config.federated.comm_rounds
-        for r in range(rounds):
+        start = self.try_resume() if resume else 0
+        for r in range(start, rounds):
             self.run_round(r)
+            if self.checkpoint_dir:
+                self.save_checkpoint(r)
             if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
                 self.evaluate_round(r)
         return self.history

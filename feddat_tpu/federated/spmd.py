@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from feddat_tpu.configs.core import OptimizerConfig, PEFTMode, TrainConfig
 from feddat_tpu.models.adapters import MODE_ENSEMBLE

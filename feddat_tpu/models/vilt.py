@@ -292,12 +292,19 @@ class ViltContinualLearner(nn.Module):
         MODE_INIT) and EVERY task head, so the param tree is complete no
         matter which task is traced first.  Use as
         ``model.init(rng, batch, method=ViltContinualLearner.init_all)``."""
+        def squash(x, rank):
+            """Normalize multi-choice [B,C,L] / multi-image [B,N,H,W,C]
+            inputs down to a single-stream slice for param creation."""
+            if x is None:
+                return None
+            return x[:, 0] if x.ndim > rank else x
+
         _, pooled = self.encoder(
-            input_ids=batch["input_ids"],
-            attention_mask=batch["attention_mask"],
-            token_type_ids=batch.get("token_type_ids"),
-            pixel_values=batch["pixel_values"],
-            pixel_mask=batch.get("pixel_mask"),
+            input_ids=squash(batch["input_ids"], 2),
+            attention_mask=squash(batch["attention_mask"], 2),
+            token_type_ids=squash(batch.get("token_type_ids"), 2),
+            pixel_values=squash(batch["pixel_values"], 4),
+            pixel_mask=squash(batch.get("pixel_mask"), 3),
             adapter_mode=adapter_mode,
             deterministic=True,
         )

@@ -1,0 +1,130 @@
+"""SPMD clients-mesh engine vs sequential semantics.
+
+With dropout disabled the math must agree: the SPMD round (shard_map over
+(client, data), pmean grads, stacked banks, reduction FedAvg) reproduces a
+manual per-client sequential run of the same DAT steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from feddat_tpu.configs.core import (
+    FederatedConfig,
+    OptimizerConfig,
+    PEFTMode,
+    TrainConfig,
+)
+from feddat_tpu.data.synthetic import SyntheticVQAClient
+from feddat_tpu.federated.spmd import FED_HEAD_KEY, SPMDFederatedTrainer
+from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+from feddat_tpu.parallel.mesh import make_mesh
+from feddat_tpu.train.dat import Partitioner, init_train_state, make_dat_train_step
+from feddat_tpu.train.forwards import make_vilt_forward
+
+from conftest import TINY_VILT
+
+
+def _setup(num_clients, batch_size=4):
+    clients = [
+        SyntheticVQAClient(
+            task_key=f"client_{i}",
+            num_train=8,
+            num_eval=4,
+            num_labels=16,
+            vocab_size=TINY_VILT.vocab_size,
+            text_len=TINY_VILT.max_text_len,
+            image_size=TINY_VILT.image_size,
+            batch_size=batch_size,
+            val_batch_size=batch_size,
+            seed=i,
+        )
+        for i in range(num_clients)
+    ]
+    model = ViltContinualLearner(TINY_VILT, {FED_HEAD_KEY: TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), next(clients[0].train_batches(0)))
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=2,
+        seed=0,
+    )
+    return model, params, clients, cfg
+
+
+def test_spmd_round_matches_sequential_math():
+    model, params, clients, cfg = _setup(num_clients=2)
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    trainer.run_round(0)
+    spmd_state = jax.tree_util.tree_map(np.asarray, trainer.client_state)
+
+    # manual sequential replay with the same step semantics
+    forward = make_vilt_forward(model, FED_HEAD_KEY)
+    part = Partitioner(params, FED_HEAD_KEY, PEFTMode.DAT)
+    max_steps = min(c.steps_per_epoch for c in clients) * cfg.num_epochs
+    step = make_dat_train_step(forward, part, cfg.optimizer, max_steps, donate=False)
+    steps = min(c.steps_per_epoch for c in clients)
+
+    from feddat_tpu.peft.partition import teacher_refresh
+
+    client_parts = []
+    for i, c in enumerate(clients):
+        p = teacher_refresh(params)
+        state = init_train_state(p, part, cfg.optimizer, jax.random.PRNGKey(7 + i))
+        it = c.train_batches(epoch=0)
+        for _ in range(steps):
+            state, _ = step(state, next(it))
+        flat = traverse_util.flatten_dict(state.params)
+        client_parts.append(
+            traverse_util.unflatten_dict({k: flat[k] for k in trainer.client_paths})
+        )
+    # fedavg of shared across clients
+    flat0 = traverse_util.flatten_dict(client_parts[0])
+    flat1 = traverse_util.flatten_dict(client_parts[1])
+    spmd_flat = traverse_util.flatten_dict(spmd_state)
+    for k in flat0:
+        ours = [np.asarray(flat0[k]), np.asarray(flat1[k])]
+        if k in part.shared_paths:
+            expected = 0.5 * ours[0] + 0.5 * ours[1]
+            got0, got1 = np.asarray(spmd_flat[k][0]), np.asarray(spmd_flat[k][1])
+            np.testing.assert_allclose(got0, expected, rtol=2e-4, atol=2e-5, err_msg=str(k))
+            np.testing.assert_allclose(got1, expected, rtol=2e-4, atol=2e-5, err_msg=str(k))
+        else:
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), ours[c], rtol=2e-4, atol=2e-5, err_msg=str(k)
+                )
+
+
+def test_spmd_data_parallel_matches_single_device():
+    """client=1 x data=2 with split batches == one full-batch DAT step."""
+    model, params, clients, cfg = _setup(num_clients=1, batch_size=8)
+    mesh = make_mesh(num_clients=1, data_parallel=2)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    trainer.run_round(0)
+    spmd_state = jax.tree_util.tree_map(np.asarray, trainer.client_state)
+
+    forward = make_vilt_forward(model, FED_HEAD_KEY)
+    part = Partitioner(params, FED_HEAD_KEY, PEFTMode.DAT)
+    max_steps = clients[0].steps_per_epoch * cfg.num_epochs
+    step = make_dat_train_step(forward, part, cfg.optimizer, max_steps, donate=False)
+
+    from feddat_tpu.peft.partition import teacher_refresh
+
+    p = teacher_refresh(params)
+    state = init_train_state(p, part, cfg.optimizer, jax.random.PRNGKey(3))
+    for batch in clients[0].train_batches(epoch=0):
+        state, _ = step(state, batch)
+    flat_seq = traverse_util.flatten_dict(state.params)
+    spmd_flat = traverse_util.flatten_dict(spmd_state)
+    for k in spmd_flat:
+        np.testing.assert_allclose(
+            np.asarray(spmd_flat[k][0]),
+            np.asarray(flat_seq[k]),
+            rtol=5e-4,
+            atol=5e-5,
+            err_msg=str(k),
+        )
