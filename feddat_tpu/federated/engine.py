@@ -250,6 +250,44 @@ class FederatedTrainer:
         logger.info("resumed from checkpoint at round %d", rnd)
         return rnd + 1
 
+    def run_single_task(self) -> Dict[str, Any]:
+        """Centralized baseline (``--do_single``, reference ``main.py:402-436``):
+        each task trains ``comm_rounds`` times sequentially on its own model
+        (no aggregation, personal state carried between repeats), then evals."""
+        init_server = self.server_params
+        results = {}
+        for client in self.clients:
+            # the reference rebuilds the model per task to reset state
+            # (``main.py:427-436``): each task starts from the initial params
+            self.server_params = init_server
+            for r in range(self.config.federated.comm_rounds):
+                trained = self.train_client(client, r)
+                personal, _ = split_by_roles(trained, self.labels, self._personal_roles)
+                self.personal[client.task_key] = personal
+                comm, _ = split_by_roles(trained, self.labels, self._comm_roles)
+                if self._comm_roles:
+                    from feddat_tpu.peft.partition import merge
+
+                    _, rest = split_by_roles(
+                        self.server_params, self.labels, self._comm_roles
+                    )
+                    self.server_params = merge(rest, comm)
+            params = self._client_params(client)
+            n = client.data.num_eval_examples
+            if self.mode == PEFTMode.DAT:
+                results[client.task_key] = evaluate_dat(
+                    params, client.eval_step, client.data.eval_batches, n
+                )
+            else:
+                mode = "adapter" if self.mode == PEFTMode.ADAPTER else "none"
+                results[client.task_key] = evaluate(
+                    params, client.eval_step, client.data.eval_batches(), n, mode
+                )
+        self.server_params = init_server
+        entry = {"round": -1, "scores": results, "single_task": True}
+        self.history.append(entry)
+        return entry
+
     def run(self, resume: bool = True) -> List[Dict[str, Any]]:
         rounds = self.config.federated.comm_rounds
         start = self.try_resume() if resume else 0

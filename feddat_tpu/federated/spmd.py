@@ -164,7 +164,7 @@ class SPMDFederatedTrainer:
                 mesh=self.mesh,
                 in_specs=in_specs,
                 out_specs=out_specs,
-                check_rep=False,
+                check_vma=False,
             ),
             donate_argnums=(2, 3, 4),  # client_state kept undonated: fedavg/teacher-refresh outputs may alias
         )
@@ -193,7 +193,7 @@ class SPMDFederatedTrainer:
                     mesh=self.mesh,
                     in_specs=(P(), P(CLIENT_AXIS), P(CLIENT_AXIS, DATA_AXIS)),
                     out_specs=P(CLIENT_AXIS),
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
 

@@ -1,0 +1,73 @@
+"""Model registry.
+
+The reference's ``load_encoder_map`` / ``create_continual_learner_map``
+(``src/modeling/__init__.py:5-17``) as typed factories.  ``flava`` is listed
+by the reference but has no implementation there (dead, SURVEY.md §2.9) and
+is rejected here with a clear error.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+ALLOWED_CL_ENCODERS = ["vilt", "viltbert", "albef_distill", "albef_no_distill"]
+
+
+def create_model(
+    encoder_name: str,
+    task_heads: Dict[str, "TaskHeadSpec"],
+    peft_mode,
+    adapter_reduction_factor: int = 16,
+    dtype: str = "float32",
+    image_size: Optional[Tuple[int, int]] = None,
+    lora_enabled: Optional[bool] = None,
+    prompt_enabled: Optional[bool] = None,
+):
+    """-> (model, model_config).  ``task_heads`` maps task_key -> TaskHeadSpec
+    (ignored by ALBEF, whose head is the LM decoder)."""
+    import jax.numpy as jnp
+
+    from feddat_tpu.configs.core import (
+        AlbefModelConfig,
+        LoraSpec,
+        PEFTMode,
+        PromptSpec,
+        ViltModelConfig,
+        adapter_spec_for_mode,
+    )
+
+    jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    adapter = adapter_spec_for_mode(peft_mode, adapter_reduction_factor)
+    lora = LoraSpec(enabled=(peft_mode == PEFTMode.LORA if lora_enabled is None else lora_enabled))
+    prompt = PromptSpec(enabled=(peft_mode == PEFTMode.PROMPT if prompt_enabled is None else prompt_enabled))
+
+    if encoder_name in ("vilt", "viltbert"):
+        cfg = ViltModelConfig(
+            adapter=adapter,
+            lora=lora,
+            prompt=prompt,
+            **({"image_size": image_size} if image_size else {}),
+        )
+        if encoder_name == "viltbert":
+            from feddat_tpu.models.viltbert import ViltBertContinualLearner
+
+            return ViltBertContinualLearner(cfg, task_heads, dtype=jdtype), cfg
+        from feddat_tpu.models.vilt import ViltContinualLearner
+
+        return ViltContinualLearner(cfg, task_heads, dtype=jdtype), cfg
+
+    if encoder_name in ("albef_distill", "albef_no_distill"):
+        from feddat_tpu.models.albef import AlbefModel
+
+        cfg = AlbefModelConfig(
+            adapter=adapter,
+            lora=lora,
+            prompt=prompt,
+            distill=(encoder_name == "albef_distill"),
+        )
+        return AlbefModel(cfg, dtype=jdtype), cfg
+
+    raise ValueError(
+        f"unknown encoder {encoder_name!r}; allowed: {ALLOWED_CL_ENCODERS} "
+        "('flava' is declared but unimplemented in the reference too)"
+    )

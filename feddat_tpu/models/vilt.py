@@ -84,10 +84,16 @@ class ViltTextEmbeddings(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, token_type_ids, deterministic=True):
+    def __call__(self, input_ids, token_type_ids, deterministic=True, inputs_embeds=None):
         c = self.config
         init = nn.initializers.normal(stddev=c.initializer_range)
-        words = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=init, dtype=self.dtype, name="word_embeddings")(input_ids)
+        if inputs_embeds is None:
+            words = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=init, dtype=self.dtype, name="word_embeddings")(input_ids)
+        else:
+            # ViLT-BERT path: text token states come from a frozen BERT
+            # (reference ``viltbert.py:115-138``); position/type embeddings
+            # and LN still apply, matching HF's ``inputs_embeds`` branch.
+            words = inputs_embeds.astype(self.dtype)
         seq_len = input_ids.shape[1]
         positions = nn.Embed(c.max_text_len, c.hidden_size, embedding_init=init, dtype=self.dtype, name="position_embeddings")(
             jnp.arange(seq_len)[None, :]
@@ -153,13 +159,14 @@ class ViltEncoder(nn.Module):
         image_token_type_idx: int = 1,
         adapter_mode: str = "none",
         deterministic: bool = True,
+        inputs_embeds: Optional[jnp.ndarray] = None,
     ):
         c = self.config
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
 
         text = ViltTextEmbeddings(c, self.dtype, name="text_embeddings")(
-            input_ids, token_type_ids, deterministic
+            input_ids, token_type_ids, deterministic, inputs_embeds
         )
         image = ViltVisualEmbeddings(c, self.dtype, name="visual_embeddings")(
             pixel_values, deterministic
@@ -261,7 +268,7 @@ def init_vilt_params(model: "ViltContinualLearner", rng, batch) -> Dict[str, Any
     import jax
 
     return jax.jit(
-        lambda r, b: model.init(r, b, method=ViltContinualLearner.init_all)
+        lambda r, b: model.init(r, b, method=type(model).init_all)
     )(rng, batch)["params"]
 
 

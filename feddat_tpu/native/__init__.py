@@ -1,0 +1,134 @@
+"""ctypes bindings for the native host-pipeline core.
+
+Builds ``libfeddat_native.so`` from the vendored C++ on first use (g++ is in
+the image; no pybind11 — plain C ABI) and exposes:
+
+  * :func:`resize_normalize_batch` — GIL-free multithreaded bilinear resize
+    + normalization into the batch buffer;
+  * :class:`NativeWordPiece` — C++ WordPiece batch tokenizer.
+
+Everything degrades gracefully: ``available()`` is False when the toolchain
+or build is missing and callers fall back to the pure-Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "feddat_native.cpp")
+_SO = os.path.join(_HERE, "libfeddat_native.so")
+_lock = threading.Lock()
+_lib = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return None
+    except Exception as e:  # toolchain missing / compile error
+        return str(e)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            err = _build()
+            if err is not None:
+                _build_error = err
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.resize_normalize_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.wp_create.restype = ctypes.c_void_p
+        lib.wp_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int32] * 4
+        lib.wp_destroy.argtypes = [ctypes.c_void_p]
+        lib.wp_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def resize_normalize_batch(
+    images: np.ndarray,
+    out_hw: Tuple[int, int],
+    mean: Sequence[float],
+    std: Sequence[float],
+    num_threads: int = 8,
+) -> np.ndarray:
+    """[N, H, W, 3] uint8 -> [N, oh, ow, 3] float32 normalized (bilinear)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    images = np.ascontiguousarray(images, dtype=np.uint8)
+    n, h, w, c = images.shape
+    assert c == 3
+    oh, ow = out_hw
+    out = np.empty((n, oh, ow, 3), np.float32)
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    lib.resize_normalize_batch(
+        images.ctypes.data, n, h, w,
+        out.ctypes.data, oh, ow,
+        mean_a.ctypes.data, std_a.ctypes.data, num_threads,
+    )
+    return out
+
+
+class NativeWordPiece:
+    """C++ WordPiece over a vocab mapping (token -> id by line order)."""
+
+    def __init__(self, vocab: dict, unk="[UNK]", cls="[CLS]", sep="[SEP]", pad="[PAD]"):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native library unavailable: {_build_error}")
+        self._lib = lib
+        ordered = sorted(vocab.items(), key=lambda kv: kv[1])
+        assert [i for _, i in ordered] == list(range(len(ordered))), "vocab ids must be dense"
+        blob = "\n".join(t for t, _ in ordered).encode("utf-8")
+        self._handle = lib.wp_create(
+            blob, vocab[unk], vocab[cls], vocab[sep], vocab[pad]
+        )
+        self.pad_token_id = vocab[pad]
+        self.cls_token_id = vocab[cls]
+        self.sep_token_id = vocab[sep]
+
+    def batch_encode(self, texts: Sequence[str], max_length: int, num_threads: int = 8):
+        n = len(texts)
+        ids = np.empty((n, max_length), np.int32)
+        mask = np.empty((n, max_length), np.int32)
+        blob = b"\x00".join(t.encode("utf-8") for t in texts) + b"\x00"
+        self._lib.wp_encode_batch(
+            self._handle, blob, n, ids.ctypes.data, mask.ctypes.data,
+            max_length, num_threads,
+        )
+        return ids, mask
+
+    def __del__(self):
+        try:
+            self._lib.wp_destroy(self._handle)
+        except Exception:
+            pass

@@ -82,11 +82,14 @@ def dot_product_attention(
                 q, k, v, bias, scale=scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng
             )
     if impl == "flash":
+        import jax as _jax
+
         from feddat_tpu.ops.flash import flash_attention
 
         if dropout_rate > 0.0:
             raise NotImplementedError("flash path does not support attn dropout")
-        return flash_attention(q, k, v, bias, scale=scale)
+        interpret = _jax.default_backend() == "cpu"
+        return flash_attention(q, k, v, bias, scale, interpret)
     raise ValueError(f"unknown attention impl {impl!r}")
 
 

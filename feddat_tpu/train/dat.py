@@ -50,10 +50,17 @@ class Partitioner:
     not be touched by weight decay), ``frozen`` (everything else).
     """
 
-    def __init__(self, params: Dict[str, Any], task_key: str, mode: PEFTMode):
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        task_key: str,
+        mode: PEFTMode,
+        layers_to_freeze: int = 0,
+    ):
         labels = label_params(params)
         flat_labels = traverse_util.flatten_dict(labels)
         self.mode = mode
+        self.grad_mask: Dict[Tuple, Any] = {}
         head_tag = f"task_{task_key}"
 
         def joined(path):
@@ -71,6 +78,31 @@ class Partitioner:
         if mode == PEFTMode.DAT:
             self.shared_paths = frozenset(p for p, l in flat_labels.items() if l == ROLE_SHARED)
             self.local_paths = frozenset(p for p, l in flat_labels.items() if l == ROLE_LOCAL)
+        elif mode == PEFTMode.FREEZE_BOTTOM_K:
+            # Intended semantics (CLiMB lineage): embeddings + bottom-k
+            # transformer layers frozen, upper layers + heads train.  (The
+            # reference's fed branch blanket-freezes everything first,
+            # reducing this mode to heads-only — an apparent regression we
+            # do not reproduce; ``main.py:137-139, 169-171``.)  Per-layer
+            # freezing over nn.scan-stacked params = a leading-axis grad
+            # mask on the layer stacks.
+            roles = trainable_roles(mode) - {ROLE_HEAD}
+            flat_p = traverse_util.flatten_dict(params)
+            paths = set()
+            for p, l in flat_labels.items():
+                joined = "/".join(str(s) for s in p)
+                if l not in roles:
+                    continue
+                if "embeddings" in joined:
+                    continue
+                paths.add(p)
+                if ("layers" in joined or "blocks" in joined) and "layer" in joined:
+                    leaf = flat_p[p]
+                    num_layers = leaf.shape[0]
+                    mask = (jnp.arange(num_layers) >= layers_to_freeze).astype(leaf.dtype)
+                    self.grad_mask[p] = mask.reshape((num_layers,) + (1,) * (leaf.ndim - 1))
+            self.shared_paths = frozenset(paths)
+            self.local_paths = frozenset()
         else:
             roles = trainable_roles(mode) - {ROLE_HEAD}
             self.shared_paths = frozenset(p for p, l in flat_labels.items() if l in roles)
@@ -250,10 +282,29 @@ def make_plain_train_step(
             return task_loss, (logits, new_aux)
 
         (loss, (_, new_aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        if P.grad_mask:
+            from flax import traverse_util as _tu
+
+            gflat = dict(_tu.flatten_dict(grads))
+            for p, m in P.grad_mask.items():
+                if p in gflat:
+                    gflat[p] = gflat[p] * m.astype(gflat[p].dtype)
+            grads = _tu.unflatten_dict(gflat)
         lr = schedule(state.sched_count)
         new_trainable, opt_state = apply_direction(
             tx, grads, state.opt_states["trainable"], trainable, lr
         )
+        if P.grad_mask:
+            # weight decay must not move frozen layers either: blend back
+            from flax import traverse_util as _tu
+
+            nflat = dict(_tu.flatten_dict(new_trainable))
+            oflat = _tu.flatten_dict(trainable)
+            for p, m in P.grad_mask.items():
+                if p in nflat:
+                    mm = m.astype(nflat[p].dtype)
+                    nflat[p] = nflat[p] * mm + oflat[p] * (1 - mm)
+            new_trainable = _tu.unflatten_dict(nflat)
         params = P.merge_into(params, new_trainable)
         new_state = TrainState(
             params=params,
