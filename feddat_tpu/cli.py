@@ -74,14 +74,16 @@ def resolve_task_keys(spec: str):
     return resolve_clients(spec)
 
 
-def build_clients(args, task_keys, tokenizer) -> Dict[str, object]:
-    """Real-data pipelines per client (ViLT path)."""
+def build_clients(args, task_keys, tokenizer):
+    """Real-data pipelines per client -> (clients, answer_banks)."""
     from feddat_tpu.configs.tasks import TASK_CONFIGS
-    from feddat_tpu.data.datasets import load_examples
+    from feddat_tpu.data.albef_pipeline import AlbefVQAPipeline
+    from feddat_tpu.data.datasets import load_ans2label, load_examples
     from feddat_tpu.data.images import make_backend
     from feddat_tpu.data.pipeline import ViltVQAPipeline
 
-    clients = {}
+    is_albef = args.encoder_name.startswith("albef")
+    clients, answer_banks = {}, {}
     train_split = args.splits[0]
     for key in task_keys:
         spec = TASK_CONFIGS[key]
@@ -90,11 +92,21 @@ def build_clients(args, task_keys, tokenizer) -> Dict[str, object]:
             tokenizer=tokenizer, shuffle_seed=args.seed,
         )
         backend = make_backend(spec.images_source, key, args.climb_data_dir)
-        clients[key] = ViltVQAPipeline(
-            examples, backend, tokenizer,
-            num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
-        )
-    return clients
+        if is_albef:
+            ans2label = load_ans2label(key, spec.data_dir, args.climb_data_dir)
+            answer_list = list(ans2label.keys())[:100]  # vqa_dataset_crossvqa.py:301
+            pipe = AlbefVQAPipeline(
+                examples, backend, tokenizer, answer_list,
+                batch_size=args.batch_size, seed=args.seed,
+            )
+            answer_banks[key] = (pipe.answer_ids, pipe.answer_mask)
+            clients[key] = pipe
+        else:
+            clients[key] = ViltVQAPipeline(
+                examples, backend, tokenizer,
+                num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
+            )
+    return clients, answer_banks
 
 
 def main(argv=None) -> int:
@@ -150,7 +162,7 @@ def main(argv=None) -> int:
         args.encoder_name, heads, mode, args.adapter_reduction_factor, args.dtype
     )
 
-    clients = build_clients(args, task_keys, tokenizer)
+    clients, answer_banks = build_clients(args, task_keys, tokenizer)
     sample_batch = next(iter(clients.values())).train_batches(0).__next__()
 
     if args.encoder_name in ("vilt", "viltbert"):
@@ -205,9 +217,22 @@ def main(argv=None) -> int:
         history = trainer.run()
     else:
         from feddat_tpu.federated.engine import FederatedTrainer
+        from feddat_tpu.train.trainers import resolve_trainer
 
+        from feddat_tpu.configs.tasks import TASK_CONFIGS
+
+        trainer_kind = TASK_CONFIGS[task_keys[0]].trainer
+        hooks = resolve_trainer(
+            args.encoder_name, trainer_kind, answer_banks=answer_banks
+        )
         trainer = FederatedTrainer(
             model, params, clients, config,
+            make_forward=hooks.make_forward,
+            make_eval=hooks.make_eval,
+            metric=hooks.metric,
+            aux_init=hooks.aux_init,
+            batch_transform=hooks.batch_transform,
+            aux_forward=hooks.aux_forward,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
         )
         if args.do_single:

@@ -212,6 +212,75 @@ def load_examples(
     return examples
 
 
+def load_vqav2_examples(
+    data_dir: str,
+    split: str,
+    tokenizer=None,
+) -> List[VQAExample]:
+    """VQAv2 (non-federated) ingestion (reference ``vqa_dataset.py:34-185``):
+    ``v2_OpenEnded_mscoco_{split}2014_questions.json`` +
+    ``v2_mscoco_{split}2014_annotations.json`` + ``ans2label.pkl`` (3129
+    labels), crowd answers scored by the VQA occurrence table."""
+    with open(os.path.join(data_dir, "ans2label.pkl"), "rb") as f:
+        ans2label = pickle.load(f)
+    cache = os.path.join(data_dir, "cached_vqa_data", f"vqa_{split}.pkl")
+    if os.path.isfile(cache):
+        with open(cache, "rb") as f:
+            raw = pickle.load(f)
+        return [
+            VQAExample(
+                question_id=d["question_id"],
+                image_id=d["image_id"],
+                question=d["question"],
+                labels=list(d["labels"]),
+                scores=list(d["scores"]),
+                answers=list(d["answers"]),
+                question_input_ids=list(d.get("question_input_ids", []) or []),
+            )
+            for d in raw
+        ]
+    with open(os.path.join(data_dir, f"v2_OpenEnded_mscoco_{split}2014_questions.json")) as f:
+        questions = json.load(f)["questions"]
+    qid2qdata = {x["question_id"]: x for x in questions}
+    with open(os.path.join(data_dir, f"v2_mscoco_{split}2014_annotations.json")) as f:
+        annotations = json.load(f)["annotations"]
+    examples = []
+    for anno in annotations:
+        qid = anno["question_id"]
+        qdata = qid2qdata[qid]
+        question = qdata["question"]
+        input_ids = (
+            tokenizer.convert_tokens_to_ids(tokenizer.tokenize(question))
+            if tokenizer is not None
+            else []
+        )
+        counts: Dict[str, int] = defaultdict(int)
+        for a in anno["answers"]:
+            counts[a["answer"]] += 1
+        labels, scores, answers = [], [], []
+        for answer, c in counts.items():
+            if answer not in ans2label:
+                continue
+            labels.append(ans2label[answer])
+            scores.append(get_score(c))
+            answers.append(answer)
+        examples.append(
+            VQAExample(
+                question_id=qid,
+                image_id=anno["image_id"],
+                question=question,
+                labels=labels,
+                scores=scores,
+                answers=answers,
+                question_input_ids=input_ids,
+            )
+        )
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    with open(cache, "wb") as f:
+        pickle.dump([e.__dict__ for e in examples], f)
+    return examples
+
+
 def convert_to_low_shot(examples: List[VQAExample], pct: float, seed: int = 0) -> List[VQAExample]:
     """Low-shot subsampling (reference ``vqa_dataset.py`` ``convert_to_low_shot``)."""
     import numpy as np

@@ -77,11 +77,21 @@ class FederatedTrainer:
         make_eval: Optional[Callable] = None,
         checkpoint_dir: Optional[str] = None,
         metrics_logger=None,
+        aux_init: Optional[Callable] = None,
+        batch_transform: Optional[Callable] = None,
+        aux_forward: bool = False,
     ):
         """``make_forward(model, task_key) -> forward`` and
         ``make_eval(model, task_key) -> eval_step`` customize the model
         family (ViLT default; ALBEF passes ``make_albef_eval_step`` bound to
-        each task's answer bank)."""
+        each task's answer bank).
+
+        ``aux_init(params) -> aux`` seeds per-client auxiliary model state
+        (ALBEF momentum twins: ``copy_params`` at client start,
+        ``albef_model.py:158-163``); ``aux_forward`` marks the forward as
+        aux-threading.  ``batch_transform(batch, epoch, step, steps_per_epoch)``
+        mirrors the reference's per-batch mutation hook (the ALBEF distill
+        alpha ramp, ``train_vqa_crossvqa.py:265-271``).."""
         self.model = model
         self.config = config
         self.mode = config.peft_mode
@@ -107,7 +117,8 @@ class FederatedTrainer:
             else:
                 adapter_mode = "adapter" if self.mode == PEFTMode.ADAPTER else "none"
                 step = make_plain_train_step(
-                    forward, part, config.optimizer, max_steps, adapter_mode, donate=False
+                    forward, part, config.optimizer, max_steps, adapter_mode,
+                    donate=False, aux_forward=aux_forward,
                 )
             self.clients.append(
                 ClientRuntime(
@@ -134,6 +145,8 @@ class FederatedTrainer:
         self.history: List[Dict[str, Any]] = []
         self.checkpoint_dir = checkpoint_dir
         self.metrics = metrics_logger
+        self.aux_init = aux_init
+        self.batch_transform = batch_transform
 
     @staticmethod
     def _default_vilt_forward(model, task_key):
@@ -168,9 +181,21 @@ class FederatedTrainer:
         params = self._client_params(client)
         self.rng, client_rng = jax.random.split(self.rng)
         state = init_train_state(params, client.partitioner, self.config.optimizer, client_rng)
+        if self.aux_init is not None:
+            state = state.replace(aux=self.aux_init(params))
         steps = 0
+        on_accelerator = jax.default_backend() != "cpu"
         for epoch in range(self.config.federated.local_epochs):
-            for batch in client.data.train_batches(epoch=round_idx * 1000 + epoch):
+            it = client.data.train_batches(epoch=round_idx * 1000 + epoch)
+            if on_accelerator:
+                # overlap host batch prep + H2D with the previous step
+                from feddat_tpu.data.pipeline import prefetch_to_device
+
+                it = prefetch_to_device(it, size=2)
+            spe = client.data.steps_per_epoch
+            for step_idx, batch in enumerate(it):
+                if self.batch_transform is not None:
+                    batch = self.batch_transform(batch, epoch, step_idx, spe)
                 state, metrics = client.train_step(state, batch)
                 steps += 1
                 if self.metrics is not None:

@@ -1,0 +1,81 @@
+"""Trainer registry: task-trainer kind -> engine hooks.
+
+The reference routes through per-task trainer classes
+(``task_configs_fed.py`` carries ``task_trainer`` class refs:
+``VQATrainerCross`` / ``VQATrainer`` / ``NLVR2Trainer`` / ``SNLIVETrainer``
+/ ``VCRTrainer``).  Here each kind resolves to the functional hooks the
+engine consumes: forward factory, eval factory, and (for ALBEF-distill) aux
+seeding + the alpha-ramp batch transform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+
+@dataclasses.dataclass
+class TrainerHooks:
+    make_forward: Callable
+    make_eval: Optional[Callable] = None
+    metric: str = "vqa_score"
+    aux_init: Optional[Callable] = None
+    batch_transform: Optional[Callable] = None
+    aux_forward: bool = False
+
+
+def vilt_hooks(loss: str = "vqa", metric: str = "vqa_score") -> TrainerHooks:
+    from feddat_tpu.train.forwards import make_vilt_forward
+
+    return TrainerHooks(
+        make_forward=lambda model, task_key: make_vilt_forward(model, task_key, loss),
+        metric=metric,
+    )
+
+
+def albef_hooks(
+    answer_banks: Dict[str, Any],
+    distill: bool = False,
+    rank_k: int = 64,
+    pad_token_id: int = 0,
+) -> TrainerHooks:
+    """``answer_banks[task_key] = (answer_ids, answer_mask)``."""
+    from feddat_tpu.train.evaluation import make_albef_eval_step
+    from feddat_tpu.train.forwards import (
+        add_alpha,
+        make_albef_distill_forward,
+        make_albef_forward,
+    )
+
+    def make_forward(model, task_key):
+        if distill:
+            return make_albef_distill_forward(model, pad_token_id)
+        return make_albef_forward(model, pad_token_id)
+
+    def make_eval(model, task_key):
+        ids, mask = answer_banks[task_key]
+        return make_albef_eval_step(model, ids, mask, k=rank_k, pad_token_id=pad_token_id)
+
+    hooks = TrainerHooks(make_forward=make_forward, make_eval=make_eval)
+    if distill:
+        import jax
+
+        hooks.aux_init = lambda params: jax.tree_util.tree_map(lambda x: x, params)
+        hooks.batch_transform = add_alpha
+        hooks.aux_forward = True
+    return hooks
+
+
+def resolve_trainer(encoder_name: str, trainer_kind: str, **kwargs) -> TrainerHooks:
+    """trainer_kind per ``feddat_tpu.configs.tasks.TaskSpec.trainer``."""
+    if encoder_name.startswith("albef"):
+        return albef_hooks(
+            kwargs["answer_banks"],
+            distill=encoder_name == "albef_distill",
+            rank_k=kwargs.get("rank_k", 64),
+        )
+    if trainer_kind in ("vqa_cross", "vqa"):
+        return vilt_hooks(loss="vqa", metric="vqa_score")
+    if trainer_kind in ("nlvr2", "snli_ve", "vcr"):
+        return vilt_hooks(loss="ce", metric="accuracy")
+    raise KeyError(f"unknown trainer kind {trainer_kind!r}")

@@ -131,3 +131,31 @@ def test_vilt_pipeline_shapes(tmp_path):
     evals = list(pipe.eval_batches())
     assert len(evals) == 3
     assert evals[-1]["valid"].sum() == 1  # 5 examples, last batch has 1 valid
+
+
+def test_load_vqav2_examples(tmp_path):
+    import pickle
+
+    from feddat_tpu.data.datasets import convert_to_low_shot, load_vqav2_examples
+
+    with open(tmp_path / "ans2label.pkl", "wb") as f:
+        pickle.dump({"red": 0, "blue": 1}, f)
+    questions = {"questions": [
+        {"question_id": 1, "image_id": 42, "question": "what color?"},
+    ]}
+    annos = {"annotations": [
+        {"question_id": 1, "image_id": 42, "multiple_choice_answer": "red",
+         "answers": [{"answer": "red"}] * 4 + [{"answer": "blue"}] * 2},
+    ]}
+    json.dump(questions, open(tmp_path / "v2_OpenEnded_mscoco_train2014_questions.json", "w"))
+    json.dump(annos, open(tmp_path / "v2_mscoco_train2014_annotations.json", "w"))
+    ex = load_vqav2_examples(str(tmp_path), "train")
+    assert len(ex) == 1 and ex[0].image_id == 42
+    # 4 occurrences -> 1.0, 2 -> 0.6 (VQA table)
+    assert set(zip(ex[0].labels, ex[0].scores)) == {(0, 1.0), (1, 0.6)}
+    # cached reload path
+    ex2 = load_vqav2_examples(str(tmp_path), "train")
+    assert ex2[0].labels == ex[0].labels
+    # low-shot
+    many = ex * 100
+    assert len(convert_to_low_shot(many, 0.05)) == 5
