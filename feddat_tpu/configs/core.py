@@ -51,6 +51,8 @@ class AdapterSpec:
     # learned gate is dead code; the live path mixes adapters 0/2 with fixed
     # 0.5/0.5 weights (``adapter.py:144,160``).
     ensemble_weight: float = 0.5
+    # Route the ensemble mode through the fused Pallas epilogue on TPU.
+    fused: bool = False
 
     @property
     def enabled(self) -> bool:
@@ -112,6 +114,10 @@ class ViltModelConfig:
     lora: LoraSpec = LoraSpec()
     prompt: PromptSpec = PromptSpec()
     remat: bool = False
+    # Rematerialization policy: "full" recomputes everything in the backward;
+    # "dots" saves matmul outputs and recomputes only elementwise chains
+    # (less recompute, more memory).
+    remat_policy: str = "full"
 
     @property
     def num_patches(self) -> int:

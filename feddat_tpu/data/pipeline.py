@@ -71,6 +71,19 @@ class ViltVQAPipeline:
         pixels, mask = process_vilt_image(img, self.canvas)
         return pixels, mask
 
+    # Optional native fast path: when every image in the batch is decoded to
+    # the same raw size, the C++ core resizes+normalizes the whole batch
+    # GIL-free (feddat_tpu/native); used by subclasses/custom loaders that
+    # control decode shape.  Exposed for benchmarking and future wiring.
+    @staticmethod
+    def native_resize(batch_u8, out_hw, num_threads=8):
+        from feddat_tpu import native
+        from feddat_tpu.data.images import VILT_MEAN, VILT_STD
+
+        return native.resize_normalize_batch(
+            batch_u8, out_hw, VILT_MEAN.tolist(), VILT_STD.tolist(), num_threads
+        )
+
     def _make_batch(self, batch_ex: List[VQAExample], valid: Optional[np.ndarray] = None):
         if self.pool is not None:
             images = list(self.pool.map(self._load_one, batch_ex))

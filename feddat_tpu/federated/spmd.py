@@ -308,11 +308,27 @@ class SPMDFederatedTrainer:
         counts = np.array([c.num_eval_examples for c in self.clients], dtype=np.float64)
         for mode, fn in self._eval_steps.items():
             its = [c.eval_batches() for c in self.clients]
+            template = None
+            done = [False] * self.num_clients
             while True:
-                try:
-                    batches = [next(it) for it in its]
-                except StopIteration:
+                batches = []
+                for i, it in enumerate(its):
+                    try:
+                        b = next(it)
+                        template = template or b
+                    except StopIteration:
+                        done[i] = True
+                        b = None
+                    batches.append(b)
+                if all(done):
                     break
+                # heterogeneous eval sizes: exhausted clients contribute
+                # all-invalid padding batches (valid mask zero)
+                for i, b in enumerate(batches):
+                    if b is None:
+                        pad = {k: np.zeros_like(v) for k, v in template.items()}
+                        pad["valid"] = np.zeros_like(template["valid"])
+                        batches[i] = pad
                 stacked = {
                     k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
                 }

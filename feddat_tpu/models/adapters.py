@@ -16,13 +16,18 @@ Modes:
                         teacher ``adapter_2`` exists, else {0, 1}
                         (reference ``adapter.py:133-162``; the learned gate is
                         dead code, the live path uses constant weights).
+
+Params are held directly (Dense-compatible ``{name}_down/{kernel,bias}``
+paths) so the ensemble can be routed through the fused Pallas epilogue
+(``feddat_tpu.ops.adapter_fused``) when ``spec.fused`` is set.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from feddat_tpu.configs.core import AdapterSpec
@@ -39,6 +44,21 @@ def ensemble_members(names: Sequence[str]) -> tuple[str, str]:
     if "adapter_2" in names:
         return ("adapter_0", "adapter_2")
     return ("adapter_0", "adapter_1")
+
+
+class _LinearParams(nn.Module):
+    """Parameter holder with nn.Dense-compatible param names/shapes."""
+
+    d_in: int
+    d_out: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.normal(stddev=0.02), (self.d_in, self.d_out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.d_out,))
+        return kernel, bias
 
 
 class AdapterCell(nn.Module):
@@ -65,46 +85,48 @@ class AdapterCell(nn.Module):
             return jnp.zeros_like(z)
 
         bottleneck = self.model_dim // self.spec.reduction_factor
-        kernel_init = nn.initializers.normal(stddev=0.02)
+        # Materialize every named adapter's params regardless of mode so the
+        # param tree is mode-independent (jit cache reuse; FedAvg and
+        # personalization partitioning).
+        weights = {}
+        for name in self.spec.names:
+            wd, bd = _LinearParams(self.model_dim, bottleneck, name=f"{name}_down")()
+            wu, bu = _LinearParams(bottleneck, self.model_dim, name=f"{name}_up")()
+            weights[name] = (wd, bd, wu, bu)
+
+        def cast(t):
+            return t.astype(self.dtype)
 
         def one(name: str) -> jnp.ndarray:
-            down = nn.Dense(
-                bottleneck,
-                kernel_init=kernel_init,
-                bias_init=nn.initializers.zeros,
-                dtype=self.dtype,
-                name=f"{name}_down",
-            )
-            up = nn.Dense(
-                self.model_dim,
-                kernel_init=kernel_init,
-                bias_init=nn.initializers.zeros,
-                dtype=self.dtype,
-                name=f"{name}_up",
-            )
-            return up(nn.relu(down(z)))
-
-        # Materialize every named adapter's params regardless of mode so the
-        # param tree is mode-independent (required for jit cache reuse and
-        # for FedAvg/personalization partitioning).  Only the active branch
-        # contributes to the output graph.
-        outs = {name: one(name) for name in self.spec.names}
+            wd, bd, wu, bu = weights[name]
+            down = z.astype(self.dtype) @ cast(wd) + cast(bd)
+            return nn.relu(down) @ cast(wu) + cast(bu)
 
         if mode == MODE_INIT:
             # Average of all adapters; only ever traced by ``init``.
-            return sum(outs.values()) / len(outs)
+            return sum(one(n) for n in self.spec.names) / len(self.spec.names)
 
         if mode == MODE_ENSEMBLE:
             a, b = ensemble_members(self.spec.names)
             w = self.spec.ensemble_weight
-            return (w * outs[a] + (1.0 - w) * outs[b]) * self.spec.scaling
+            if self.spec.fused and jax.default_backend() == "tpu":
+                # Fused Pallas epilogue computes h + mix directly; return the
+                # delta so callers' residual convention is preserved.
+                from feddat_tpu.ops.adapter_fused import fused_ensemble_adapter
 
-        if mode not in outs:
+                pa = tuple(cast(t) for t in weights[a])
+                pb = tuple(cast(t) for t in weights[b])
+                zc = z.astype(self.dtype)
+                fused = fused_ensemble_adapter(zc, pa, pb, float(w), False)
+                return (fused - zc) * self.spec.scaling
+            return (w * one(a) + (1.0 - w) * one(b)) * self.spec.scaling
+
+        if mode not in weights:
             raise ValueError(
-                f"Unknown adapter mode {mode!r}; have {tuple(outs)} + "
+                f"Unknown adapter mode {mode!r}; have {tuple(weights)} + "
                 f"('{MODE_NONE}', '{MODE_ENSEMBLE}')"
             )
-        return outs[mode]
+        return one(mode)
 
     def __call__(self, hidden_states: jnp.ndarray, residual: jnp.ndarray, mode: str) -> jnp.ndarray:
         """ViLT-style application: ``residual + delta(hidden_states)``

@@ -86,6 +86,7 @@ class AlbefModel(nn.Module):
             lora=self.cfg.lora,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.cfg.remat,
         )
         self.text_decoder = XBertLMHead(
             decoder_config(self.cfg),
@@ -93,6 +94,7 @@ class AlbefModel(nn.Module):
             lora=self.cfg.lora,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.cfg.remat,
         )
 
     # -- building blocks ---------------------------------------------------

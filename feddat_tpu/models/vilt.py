@@ -236,8 +236,16 @@ class ViltEncoder(nn.Module):
             def __call__(self, carry, layer_bias):
                 layer = PreLNLayer(**layer_kwargs, name="layer")
                 if c.remat:
+                    import jax as _jax
+
+                    policy = (
+                        _jax.checkpoint_policies.dots_saveable
+                        if c.remat_policy == "dots"
+                        else None
+                    )
                     out = nn.remat(
-                        lambda mdl, h, b: mdl(h, b, adapter_mode, deterministic)
+                        lambda mdl, h, b: mdl(h, b, adapter_mode, deterministic),
+                        policy=policy,
                     )(layer, carry, layer_bias)
                 else:
                     out = layer(carry, layer_bias, adapter_mode, deterministic)

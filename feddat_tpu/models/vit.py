@@ -58,12 +58,18 @@ class VisionTransformer(nn.Module):
             attn_impl=self.attn_impl,
         )
 
+        use_remat = c.remat
+
         class _Body(nn.Module):
             @nn.compact
             def __call__(self, carry, _):
-                out = PreLNLayer(**layer_kwargs, name="block")(
-                    carry, None, adapter_mode, deterministic
-                )
+                block = PreLNLayer(**layer_kwargs, name="block")
+                if use_remat:
+                    out = nn.remat(
+                        lambda mdl, h: mdl(h, None, adapter_mode, deterministic)
+                    )(block, carry)
+                else:
+                    out = block(carry, None, adapter_mode, deterministic)
                 return out, None
 
         Blocks = nn.scan(

@@ -133,7 +133,7 @@ class XBertEncoder(nn.Module):
     lora: LoraSpec = LoraSpec()
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
-    decoder_causal: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -151,6 +151,7 @@ class XBertEncoder(nn.Module):
         n_fusion = c.num_layers - c.fusion_layer
 
         def make_scan(has_cross, length, name):
+            use_remat = self.remat
             layer_kwargs = dict(
                 cfg=c,
                 has_cross=has_cross,
@@ -163,15 +164,25 @@ class XBertEncoder(nn.Module):
             class _Body(nn.Module):
                 @nn.compact
                 def __call__(self, carry, ctx):
-                    sb, eb, enc = ctx
-                    out = XBertLayer(**layer_kwargs, name="layer")(
-                        carry,
-                        sb,
-                        enc_states=enc if has_cross else None,
-                        enc_bias=eb if has_cross else None,
-                        adapter_mode=adapter_mode,
-                        deterministic=deterministic,
-                    )
+                    layer = XBertLayer(**layer_kwargs, name="layer")
+
+                    def call(mdl, h, c):
+                        sb, eb, enc = c
+                        return mdl(
+                            h,
+                            sb,
+                            enc_states=enc if has_cross else None,
+                            enc_bias=eb if has_cross else None,
+                            adapter_mode=adapter_mode,
+                            deterministic=deterministic,
+                        )
+
+                    if use_remat:
+                        # the gradient-checkpointing path the reference
+                        # implements but never enables (``xbert.py:574-596``)
+                        out = nn.remat(call)(layer, carry, ctx)
+                    else:
+                        out = call(layer, carry, ctx)
                     return out, None
 
             return nn.scan(
@@ -200,6 +211,7 @@ class XBertModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     is_decoder: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -237,6 +249,7 @@ class XBertModel(nn.Module):
             self.lora,
             self.dtype,
             self.attn_impl,
+            remat=self.remat,
             name="encoder",
         )(
             x,
@@ -278,6 +291,7 @@ class XBertLMHead(nn.Module):
     lora: LoraSpec = LoraSpec()
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -296,6 +310,7 @@ class XBertLMHead(nn.Module):
             self.dtype,
             self.attn_impl,
             is_decoder=True,
+            remat=self.remat,
             name="bert",
         )(
             input_ids,
@@ -307,3 +322,60 @@ class XBertLMHead(nn.Module):
             deterministic=deterministic,
         )
         return BertPredictionHead(self.cfg, self.dtype, name="cls")(hidden)
+
+
+class XBertMaskedLM(nn.Module):
+    """Masked-LM head over the (optionally multimodal) encoder — the
+    behavior of the reference's ``BertForMaskedLM`` with the soft-label
+    distillation mix (``xbert.py:1360-1428``): per-token CE on masked
+    positions (labels -100 = ignore), optionally blended with
+    ``(1-alpha)*CE + alpha*soft`` like the LM decoder."""
+
+    cfg: AlbefBertConfig
+    adapter: AdapterSpec = AdapterSpec()
+    lora: LoraSpec = LoraSpec()
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        labels=None,
+        encoder_hidden_states=None,
+        encoder_attention_mask=None,
+        soft_labels=None,
+        alpha: float = 0.0,
+        mode: str = "multi_modal",
+        adapter_mode: str = "none",
+        deterministic: bool = True,
+    ):
+        hidden = XBertModel(
+            self.cfg, self.adapter, self.lora, self.dtype, self.attn_impl, name="bert"
+        )(
+            input_ids,
+            attention_mask,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=encoder_attention_mask,
+            mode=mode,
+            adapter_mode=adapter_mode,
+            deterministic=deterministic,
+        )
+        logits = BertPredictionHead(self.cfg, self.dtype, name="cls")(hidden)
+        if labels is None:
+            return logits
+        import jax
+
+        logits32 = logits.astype(jnp.float32)
+        valid = labels != -100
+        safe = jnp.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(logits32, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        loss = jnp.sum(nll) / jnp.maximum(1, jnp.sum(valid))
+        if soft_labels is not None:
+            distill = -jnp.sum(logp * soft_labels, axis=-1)
+            distill = jnp.sum(jnp.where(valid, distill, 0.0)) / jnp.maximum(1, jnp.sum(valid))
+            loss = (1.0 - alpha) * loss + alpha * distill
+        return loss, logits

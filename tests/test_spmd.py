@@ -128,3 +128,36 @@ def test_spmd_data_parallel_matches_single_device():
             atol=5e-5,
             err_msg=str(k),
         )
+
+
+def test_spmd_eval_with_heterogeneous_eval_sizes():
+    """Clients with different eval-set sizes: exhausted clients must be
+    padded with zero-valid batches, and scores still normalize per client."""
+    clients = [
+        SyntheticVQAClient(
+            task_key=f"client_{i}",
+            num_train=8,
+            num_eval=4 * (i + 1),  # 4 and 8
+            num_labels=16,
+            vocab_size=TINY_VILT.vocab_size,
+            text_len=TINY_VILT.max_text_len,
+            image_size=TINY_VILT.image_size,
+            batch_size=4,
+            val_batch_size=4,
+            seed=i,
+        )
+        for i in range(2)
+    ]
+    model = ViltContinualLearner(TINY_VILT, {FED_HEAD_KEY: TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), next(clients[0].train_batches(0)))
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1,
+    )
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    entry = trainer.evaluate_round(0)
+    for task, scores in entry["scores"].items():
+        assert all(0.0 <= s <= 100.0 for s in scores), (task, scores)
