@@ -347,6 +347,24 @@ class ViltContinualLearner(nn.Module):
             return self.forward_single_image(task_key, batch, adapter_mode, deterministic)
         return self.forward_multi_images(task_key, batch, adapter_mode, deterministic)
 
+    def encode_single_image(self, task_key, batch, adapter_mode="none", deterministic=True):
+        """Encoder-only forward -> pooled [B, d] (used by the fused DAT step,
+        which shares one ensemble encoder pass between its ① and ③ stages)."""
+        _, pooled = self.encoder(
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            token_type_ids=batch.get("token_type_ids"),
+            pixel_values=batch["pixel_values"],
+            pixel_mask=batch.get("pixel_mask"),
+            adapter_mode=adapter_mode,
+            deterministic=deterministic,
+        )
+        return pooled
+
+    def apply_head(self, task_key, pooled):
+        """Head-only forward (classification heads)."""
+        return self._heads[task_key](pooled)
+
     def forward_single_image(self, task_key, batch, adapter_mode="none", deterministic=True):
         """Reference ``vilt.py:244-264``: encode, then head on pooled output."""
         _, pooled = self.encoder(

@@ -1,0 +1,76 @@
+"""Fused DAT step (single ensemble encoder pass) == standard DAT step,
+exactly, when encoder dropout is off."""
+
+import jax
+import numpy as np
+from flax import traverse_util
+
+from feddat_tpu.configs.core import OptimizerConfig, PEFTMode
+from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+from feddat_tpu.train.dat import (
+    Partitioner,
+    init_train_state,
+    make_dat_train_step,
+    make_dat_train_step_fused,
+)
+from feddat_tpu.train.forwards import make_vilt_forward
+from feddat_tpu.train.losses import bce_with_logits_vqa
+
+from conftest import TINY_VILT, tiny_batch
+
+OPT = OptimizerConfig(lr=1e-2)
+
+
+def test_fused_step_matches_standard():
+    model = ViltContinualLearner(TINY_VILT, {"coco": TaskHeadSpec(num_labels=16)})
+    batch = tiny_batch(np.random.RandomState(5))
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    part = Partitioner(params, "coco", PEFTMode.DAT)
+
+    std_step = make_dat_train_step(
+        make_vilt_forward(model, "coco"), part, OPT, max_steps=100, donate=False
+    )
+
+    def encode(p, b, mode, rng):
+        return model.apply(
+            {"params": p}, "coco", b, adapter_mode=mode, deterministic=True,
+            method=type(model).encode_single_image,
+        )
+
+    def head_fn(head_subtree, pooled):
+        # head params live at task_coco in the tree; rebuild a minimal tree
+        from feddat_tpu.peft.partition import merge
+
+        return model.apply(
+            {"params": merge(head_subtree, _frozen_rest)},
+            "coco",
+            pooled,
+            method=type(model).apply_head,
+        )
+
+    from feddat_tpu.peft.partition import split_by_roles, label_params
+
+    labels = label_params(params)
+    _, _frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
+
+    def task_loss(logits, b):
+        return bce_with_logits_vqa(logits, b["target_scores"])
+
+    fused_step = make_dat_train_step_fused(
+        encode, head_fn, task_loss, part, OPT, max_steps=100, donate=False
+    )
+
+    s_std = init_train_state(params, part, OPT, jax.random.PRNGKey(0))
+    s_fused = init_train_state(params, part, OPT, jax.random.PRNGKey(0))
+    for i in range(3):
+        s_std, m_std = std_step(s_std, batch)
+        s_fused, m_fused = fused_step(s_fused, batch)
+        np.testing.assert_allclose(
+            float(m_std["loss"]), float(m_fused["loss"]), rtol=1e-5
+        )
+    f0 = traverse_util.flatten_dict(s_std.params)
+    f1 = traverse_util.flatten_dict(s_fused.params)
+    for k in f0:
+        np.testing.assert_allclose(
+            np.asarray(f0[k]), np.asarray(f1[k]), rtol=2e-5, atol=1e-7, err_msg=str(k)
+        )
