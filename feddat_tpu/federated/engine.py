@@ -80,6 +80,7 @@ class FederatedTrainer:
         aux_init: Optional[Callable] = None,
         batch_transform: Optional[Callable] = None,
         aux_forward: bool = False,
+        use_fused_dat: bool = False,
     ):
         """``make_forward(model, task_key) -> forward`` and
         ``make_eval(model, task_key) -> eval_step`` customize the model
@@ -113,7 +114,12 @@ class FederatedTrainer:
                 # no buffer donation here: the sequential engine's personal store and
                 # server tree intentionally alias client-param leaves (the SPMD
                 # engine is the donation-optimized path)
-                step = make_dat_train_step(forward, part, config.optimizer, max_steps, donate=False)
+                if use_fused_dat:
+                    step = self._build_fused_dat_step(
+                        model, params, task_key, part, config.optimizer, max_steps
+                    )
+                else:
+                    step = make_dat_train_step(forward, part, config.optimizer, max_steps, donate=False)
             else:
                 adapter_mode = "adapter" if self.mode == PEFTMode.ADAPTER else "none"
                 step = make_plain_train_step(
@@ -147,6 +153,37 @@ class FederatedTrainer:
         self.metrics = metrics_logger
         self.aux_init = aux_init
         self.batch_transform = batch_transform
+
+    @staticmethod
+    def _build_fused_dat_step(model, params, task_key, part, opt_cfg, max_steps):
+        """ViLT fused DAT step (single ensemble encoder pass; see
+        ``train/dat.py::make_dat_train_step_fused``).  Exact when encoder
+        dropout is off (ViLT default)."""
+        from feddat_tpu.peft.partition import label_params, merge, split_by_roles
+        from feddat_tpu.train.dat import make_dat_train_step_fused
+        from feddat_tpu.train.losses import bce_with_logits_vqa
+
+        labels = label_params(params)
+        _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
+
+        def encode(p, b, mode, rng):
+            return model.apply(
+                {"params": p}, task_key, b, adapter_mode=mode, deterministic=True,
+                method=type(model).encode_single_image,
+            )
+
+        def head_fn(h, pooled):
+            return model.apply(
+                {"params": merge(h, frozen_rest)}, task_key, pooled,
+                method=type(model).apply_head,
+            )
+
+        def task_loss(logits, b):
+            return bce_with_logits_vqa(logits, b["target_scores"])
+
+        return make_dat_train_step_fused(
+            encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=False
+        )
 
     @staticmethod
     def _default_vilt_forward(model, task_key):

@@ -74,3 +74,35 @@ def test_fused_step_matches_standard():
         np.testing.assert_allclose(
             np.asarray(f0[k]), np.asarray(f1[k]), rtol=2e-5, atol=1e-7, err_msg=str(k)
         )
+
+
+def test_engine_with_fused_dat_step():
+    from feddat_tpu.configs.core import FederatedConfig, TrainConfig
+    from feddat_tpu.data.synthetic import SyntheticVQAClient
+    from feddat_tpu.federated.engine import FederatedTrainer
+
+    clients = {
+        "c0": SyntheticVQAClient(
+            task_key="c0", num_train=8, num_eval=4, num_labels=16,
+            vocab_size=TINY_VILT.vocab_size, text_len=TINY_VILT.max_text_len,
+            image_size=TINY_VILT.image_size, batch_size=4, seed=0,
+        )
+    }
+    model = ViltContinualLearner(TINY_VILT, {"c0": TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), next(clients["c0"].train_batches(0)))
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OPT,
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=2,
+    )
+    t_fused = FederatedTrainer(model, params, clients, cfg, use_fused_dat=True)
+    t_std = FederatedTrainer(model, params, clients, cfg, use_fused_dat=False)
+    t_fused.run_round(0)
+    t_std.run_round(0)
+    f0 = traverse_util.flatten_dict(t_std.server_params)
+    f1 = traverse_util.flatten_dict(t_fused.server_params)
+    for k in f0:
+        np.testing.assert_allclose(
+            np.asarray(f0[k]), np.asarray(f1[k]), rtol=2e-5, atol=1e-7, err_msg=str(k)
+        )
