@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab_file", default=None,
                    help="bert-base-uncased vocab.txt for the WordPiece tokenizer")
     p.add_argument("--eval_every", type=int, default=5)
+    p.add_argument("--use_fused_dat", action="store_true",
+                   help="use the single-ensemble-pass fused DAT step (exact when encoder dropout is off)")
+    p.add_argument("--smoke", action="store_true",
+                   help="CI smoke mode: tiny model dimensions + tiny images (functional path only)")
     return p
 
 
@@ -105,6 +109,7 @@ def build_clients(args, task_keys, tokenizer):
             clients[key] = ViltVQAPipeline(
                 examples, backend, tokenizer,
                 num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
+                **({"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}),
             )
     return clients, answer_banks
 
@@ -158,9 +163,22 @@ def main(argv=None) -> int:
         tokenizer = WordPieceTokenizer.toy(["what", "is", "the", "a"])
 
     heads = {k: TaskHeadSpec(num_labels=100) for k in task_keys}
-    model, model_cfg = create_model(
-        args.encoder_name, heads, mode, args.adapter_reduction_factor, args.dtype
-    )
+    if args.smoke:
+        import dataclasses
+
+        from feddat_tpu.configs.core import ViltModelConfig, adapter_spec_for_mode
+        from feddat_tpu.models.vilt import ViltContinualLearner
+
+        smoke_cfg = ViltModelConfig(
+            hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+            max_text_len=16, image_size=(64, 64), patch_size=32,
+            adapter=adapter_spec_for_mode(mode, 4),
+        )
+        model, model_cfg = ViltContinualLearner(smoke_cfg, heads), smoke_cfg
+    else:
+        model, model_cfg = create_model(
+            args.encoder_name, heads, mode, args.adapter_reduction_factor, args.dtype
+        )
 
     clients, answer_banks = build_clients(args, task_keys, tokenizer)
     sample_batch = next(iter(clients.values())).train_batches(0).__next__()
@@ -233,6 +251,7 @@ def main(argv=None) -> int:
             aux_init=hooks.aux_init,
             batch_transform=hooks.batch_transform,
             aux_forward=hooks.aux_forward,
+            use_fused_dat=args.use_fused_dat,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
         )
         if args.do_single:
