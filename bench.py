@@ -44,6 +44,7 @@ def _build(batch_size: int, dtype: str):
         cfg = ViltModelConfig(
             adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
             remat=(batch_size > 8),
+            attention_logits_dtype="bfloat16" if dtype == "bfloat16" else "float32",
         )
         num_labels = 100
     else:  # CPU smoke-scale

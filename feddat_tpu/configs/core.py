@@ -118,6 +118,10 @@ class ViltModelConfig:
     # "dots" saves matmul outputs and recomputes only elementwise chains
     # (less recompute, more memory).
     remat_policy: str = "full"
+    # Storage dtype of attention logits/cotangents: "float32" (reference
+    # parity) or "bfloat16" (+14% DAT throughput on v5e; softmax still
+    # accumulates fp32).
+    attention_logits_dtype: str = "float32"
 
     @property
     def num_patches(self) -> int:

@@ -81,6 +81,9 @@ class MultiHeadAttention(nn.Module):
     lora: LoraSpec = LoraSpec()
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # storage dtype of the attention logits (fp32 = reference parity;
+    # bf16 = +14% DAT throughput, see ops/attention.py)
+    logits_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -114,6 +117,7 @@ class MultiHeadAttention(nn.Module):
             dropout_rate=0.0 if deterministic else self.dropout_rate,
             dropout_rng=dropout_rng,
             impl=self.attn_impl,
+            logits_dtype=self.logits_dtype,
         )
         b, h, s, d = ctx.shape
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * d)
@@ -164,6 +168,7 @@ class PreLNLayer(nn.Module):
     lora: LoraSpec = LoraSpec()
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    logits_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -180,6 +185,7 @@ class PreLNLayer(nn.Module):
             lora=self.lora,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            logits_dtype=self.logits_dtype,
             name="attention",
         )(
             nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_before")(x),

@@ -227,6 +227,7 @@ class ViltEncoder(nn.Module):
             lora=c.lora,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            logits_dtype=jnp.dtype(c.attention_logits_dtype),
         )
 
         class _LayerBody(nn.Module):

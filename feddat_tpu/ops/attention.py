@@ -29,18 +29,23 @@ def _xla_attention(
     scale: float,
     dropout_rate: float,
     dropout_rng,
+    logits_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Reference XLA path.  q,k,v: [B, H, S, D] (q: S_q, k/v: S_kv)."""
-    # fp32 softmax accumulation regardless of compute dtype — matches the
-    # MXU's native bf16-in/fp32-accumulate and keeps parity with the
-    # reference's fp16-autocast-with-fp32-softmax behavior.
+    """Reference XLA path.  q,k,v: [B, H, S, D] (q: S_q, k/v: S_kv).
+
+    ``logits_dtype`` controls the STORAGE dtype of the [B,H,S,S] logits (and
+    therefore of their cotangents in the backward): fp32 (default, exact
+    parity with the reference's fp32 softmax) or bf16 (+14% measured DAT
+    throughput on v5e from halved HBM traffic; the softmax itself still
+    accumulates in fp32).  MXU accumulation is fp32 either way.
+    """
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     )
-    logits = logits * scale
+    logits = (logits * scale).astype(logits_dtype)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
@@ -58,6 +63,7 @@ def dot_product_attention(
     dropout_rate: float = 0.0,
     dropout_rng=None,
     impl: str = "auto",
+    logits_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Multi-head attention core.
 
@@ -79,7 +85,8 @@ def dot_product_attention(
         # kernel (long-sequence path).
         if impl == "auto" or impl == "xla":
             return _xla_attention(
-                q, k, v, bias, scale=scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng
+                q, k, v, bias, scale=scale, dropout_rate=dropout_rate,
+                dropout_rng=dropout_rng, logits_dtype=logits_dtype,
             )
     if impl == "flash":
         import jax as _jax
