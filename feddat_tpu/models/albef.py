@@ -187,6 +187,31 @@ class AlbefModel(nn.Module):
         loss = jnp.sum(weights * seq_loss) / B
         return loss, logits[:, :-1, :]
 
+    def encode_train(self, batch, adapter_mode="none", deterministic=True):
+        """Everything up to (but excluding) the LM prediction head -> decoder
+        final hidden states [B*A, La, D].  Used by the fused DAT step: the
+        ensemble path's encoder+decoder backbone is identical between DAT
+        stages ① and ③ (only the ``cls`` head changes in stage ②)."""
+        q_states = self.encode_question(
+            batch["pixel_values"],
+            batch["question_ids"],
+            batch["question_mask"],
+            adapter_mode,
+            deterministic,
+        )
+        B, A, La = batch["answer_ids"].shape
+        ans_ids = batch["answer_ids"].reshape(B * A, La)
+        ans_mask = batch["answer_mask"].reshape(B * A, La)
+        q_rep = jnp.repeat(q_states, A, axis=0)
+        q_att_rep = jnp.repeat(batch["question_mask"], A, axis=0)
+        return self.text_decoder.bert_hidden(
+            ans_ids, ans_mask, q_rep, q_att_rep, adapter_mode, deterministic
+        )
+
+    def apply_cls(self, hidden):
+        """LM prediction head only -> SHIFTED logits [B*A, La-1, V]."""
+        return self.text_decoder.cls_logits(hidden)[:, :-1, :]
+
     def forward_train_logits(self, batch, adapter_mode="none", deterministic=True):
         """Twin (momentum) forward: shifted logits only
         (``return_logits=True`` path, ``albef_model.py:116-121``)."""

@@ -293,7 +293,42 @@ class XBertLMHead(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.bert = XBertModel(
+            self.cfg,
+            self.adapter,
+            self.lora,
+            self.dtype,
+            self.attn_impl,
+            is_decoder=True,
+            remat=self.remat,
+        )
+        self.cls = BertPredictionHead(self.cfg, self.dtype)
+
+    def bert_hidden(
+        self,
+        input_ids,
+        attention_mask,
+        encoder_hidden_states,
+        encoder_attention_mask=None,
+        adapter_mode: str = "none",
+        deterministic: bool = True,
+    ):
+        """Decoder transformer only -> final hidden states (no LM head)."""
+        return self.bert(
+            input_ids,
+            attention_mask,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=encoder_attention_mask,
+            mode="multi_modal",
+            adapter_mode=adapter_mode,
+            deterministic=deterministic,
+        )
+
+    def cls_logits(self, hidden):
+        """LM prediction head only."""
+        return self.cls(hidden)
+
     def __call__(
         self,
         input_ids,
@@ -303,25 +338,15 @@ class XBertLMHead(nn.Module):
         adapter_mode: str = "none",
         deterministic: bool = True,
     ):
-        hidden = XBertModel(
-            self.cfg,
-            self.adapter,
-            self.lora,
-            self.dtype,
-            self.attn_impl,
-            is_decoder=True,
-            remat=self.remat,
-            name="bert",
-        )(
+        hidden = self.bert_hidden(
             input_ids,
             attention_mask,
-            encoder_hidden_states=encoder_hidden_states,
-            encoder_attention_mask=encoder_attention_mask,
-            mode="multi_modal",
-            adapter_mode=adapter_mode,
-            deterministic=deterministic,
+            encoder_hidden_states,
+            encoder_attention_mask,
+            adapter_mode,
+            deterministic,
         )
-        return BertPredictionHead(self.cfg, self.dtype, name="cls")(hidden)
+        return self.cls_logits(hidden)
 
 
 class XBertMaskedLM(nn.Module):

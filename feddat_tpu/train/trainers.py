@@ -66,6 +66,55 @@ def albef_hooks(
     return hooks
 
 
+def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: int = 0, donate: bool = False):
+    """ALBEF fused DAT step: one ensemble encoder+decoder-backbone pass per
+    batch (only the ``cls`` LM head changes between DAT stages ① and ③).
+    Exact when dropout is off; ALBEF's default dropout is 0.1, so use this
+    for throughput-oriented runs or set dropout to 0 for exactness."""
+    import jax.numpy as jnp
+
+    from feddat_tpu.configs.core import PEFTMode
+    from feddat_tpu.models.albef import AlbefModel
+    from feddat_tpu.peft.partition import label_params, merge, split_by_roles
+    from feddat_tpu.train.dat import Partitioner, make_dat_train_step_fused
+
+    part = Partitioner(params, "fed", PEFTMode.DAT)
+    labels = label_params(params)
+    _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
+
+    def encode(p, batch, mode, rng):
+        return model.apply(
+            {"params": p}, batch, adapter_mode=mode, deterministic=True,
+            method=AlbefModel.encode_train,
+        )
+
+    def head_fn(head_subtree, hidden):
+        return model.apply(
+            {"params": merge(head_subtree, frozen_rest)}, hidden,
+            method=AlbefModel.apply_cls,
+        )
+
+    def task_loss(shifted_logits, batch):
+        import jax
+
+        B, A, La = batch["answer_ids"].shape
+        ans_ids = batch["answer_ids"].reshape(B * A, La)
+        targets = jnp.where(ans_ids == pad_token_id, -100, ans_ids)
+        tgt = targets[:, 1:]
+        valid = tgt != -100
+        safe = jnp.where(valid, tgt, 0)
+        logp = jax.nn.log_softmax(shifted_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        seq_loss = jnp.sum(nll, axis=-1)
+        weights = batch["answer_weights"].reshape(B * A)
+        return jnp.sum(weights * seq_loss) / B
+
+    return make_dat_train_step_fused(
+        encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=donate
+    ), part
+
+
 def resolve_trainer(encoder_name: str, trainer_kind: str, **kwargs) -> TrainerHooks:
     """trainer_kind per ``feddat_tpu.configs.tasks.TaskSpec.trainer``."""
     if encoder_name.startswith("albef"):

@@ -106,3 +106,46 @@ def test_engine_with_fused_dat_step():
         np.testing.assert_allclose(
             np.asarray(f0[k]), np.asarray(f1[k]), rtol=2e-5, atol=1e-7, err_msg=str(k)
         )
+
+
+def test_albef_fused_step_matches_standard():
+    """ALBEF fused DAT step == standard step (dropout disabled)."""
+    import dataclasses
+
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from feddat_tpu.train.forwards import make_albef_forward
+    from feddat_tpu.train.trainers import make_albef_fused_dat_step
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    cfg = dataclasses.replace(
+        TINY_ALBEF, bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.0, attention_dropout=0.0)
+    )
+    client = SyntheticAlbefClient(
+        task_key="c", num_train=8, num_eval=4, num_answers=8, vocab_size=64,
+        question_len=6, answer_len=4, image_size=(32, 32), batch_size=4, seed=0,
+    )
+    model = AlbefModel(cfg)
+    batch = next(client.train_batches(0))
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch)
+
+    from feddat_tpu.train.dat import make_dat_train_step
+
+    part_std = Partitioner(params, "fed", PEFTMode.DAT)
+    std_step = make_dat_train_step(
+        make_albef_forward(model), part_std, OPT, max_steps=100, donate=False
+    )
+    fused_step, part_f = make_albef_fused_dat_step(model, params, OPT, max_steps=100)
+
+    s_std = init_train_state(params, part_std, OPT, jax.random.PRNGKey(0))
+    s_fused = init_train_state(params, part_f, OPT, jax.random.PRNGKey(0))
+    for _ in range(2):
+        s_std, m_std = std_step(s_std, batch)
+        s_fused, m_fused = fused_step(s_fused, batch)
+        np.testing.assert_allclose(float(m_std["loss"]), float(m_fused["loss"]), rtol=1e-5)
+    f0 = traverse_util.flatten_dict(s_std.params)
+    f1 = traverse_util.flatten_dict(s_fused.params)
+    for k in f0:
+        np.testing.assert_allclose(
+            np.asarray(f0[k]), np.asarray(f1[k]), rtol=5e-4, atol=1e-6, err_msg=str(k)
+        )
