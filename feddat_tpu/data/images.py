@@ -79,9 +79,14 @@ class ImageBackend:
         raise NotImplementedError
 
     def load(self, image_id) -> "Image.Image":
-        p = self.path_for(image_id)
-        img = Image.open(p)
-        return img.convert("RGB")
+        """Decode; on failure return a black image (the reference's only
+        fault tolerance, ``src/utils/image_utils.py:56-60`` — a corrupt file
+        must not kill a federated round)."""
+        try:
+            p = self.path_for(image_id)
+            return Image.open(p).convert("RGB")
+        except Exception:
+            return Image.new("RGB", (384, 384))
 
 
 class DirectoryScanBackend(ImageBackend):
