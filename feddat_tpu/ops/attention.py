@@ -97,6 +97,15 @@ def dot_product_attention(
             raise NotImplementedError("flash path does not support attn dropout")
         interpret = _jax.default_backend() == "cpu"
         return flash_attention(q, k, v, bias, scale, interpret)
+    if impl == "fused":
+        import jax as _jax
+
+        from feddat_tpu.ops.fused_attention import fused_short_attention
+
+        if dropout_rate > 0.0:
+            raise NotImplementedError("fused path does not support attn dropout")
+        interpret = _jax.default_backend() == "cpu"
+        return fused_short_attention(q, k, v, bias, scale, interpret)
     raise ValueError(f"unknown attention impl {impl!r}")
 
 

@@ -84,3 +84,29 @@ def test_attention_interface_routes_flash():
     q, k, v = _qkv(rng, sq=8, skv=8, d=8)
     with pytest.raises(ValueError):
         dot_product_attention(q, k, v, impl="nope")
+
+
+def test_fused_short_attention_matches_xla():
+    from feddat_tpu.ops.fused_attention import fused_short_attention
+
+    rng = np.random.RandomState(7)
+    q, k, v = _qkv(rng, b=2, h=2, sq=24, skv=24, d=16)
+    mask = jnp.asarray((rng.rand(2, 24) > 0.3).astype(np.int32))
+    bias = mask_to_bias(mask)
+    ref = dot_product_attention(q, k, v, bias, impl="xla")
+    out = fused_short_attention(q, k, v, bias, None, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_short_attention_grads_match_xla():
+    from feddat_tpu.ops.fused_attention import fused_short_attention
+
+    rng = np.random.RandomState(8)
+    q, k, v = _qkv(rng, b=1, h=2, sq=16, skv=16, d=8)
+    mask = jnp.asarray((rng.rand(1, 16) > 0.2).astype(np.int32))
+    bias = mask_to_bias(mask)
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(fused_short_attention(q, k, v, bias, None, True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(dot_product_attention(q, k, v, bias, impl="xla") ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
