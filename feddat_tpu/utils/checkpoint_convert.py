@@ -287,6 +287,7 @@ def convert_albef_checkpoint(
     fusion_layer: int = 6,
     num_text_layers: int = 12,
     decoder_layers: int = 6,
+    vision_layers: int = 12,
 ) -> Dict[str, Any]:
     """ALBEF ``.pth`` -> ``AlbefModel`` params, with the reference's key
     surgery (``albef.py:204-241``): ``bert.`` strip, ViT pos-embed
@@ -308,11 +309,16 @@ def convert_albef_checkpoint(
                 if idx >= fusion_layer:
                     parts[3] = str(idx - fusion_layer)
                     extra["text_decoder." + ".".join(parts[1:])] = v
+            elif k.startswith("text_encoder.embeddings."):
+                # the decoder shares the encoder's embeddings when the
+                # checkpoint carries no trained decoder (the reference loads
+                # them from the same BERT base, ``albef_model.py:41-42``)
+                extra["text_decoder." + k[len("text_encoder."):]] = v
         sd.update(extra)
 
     visual = convert_vit_timm(
         {k[len("visual_encoder."):]: v for k, v in sd.items() if k.startswith("visual_encoder.")},
-        num_layers=12,
+        num_layers=vision_layers,
         num_patches_new=num_patches_new,
     )
     text_sd = {k[len("text_encoder."):]: v for k, v in sd.items() if k.startswith("text_encoder.")}
