@@ -244,14 +244,14 @@ def make_dat_train_step(
     return jax.jit(step)
 
 
-def make_dat_train_step_fused(
+def dat_step_core_fused(
     encode_fn,
     head_fn,
     task_loss_fn,
     partitioner: Partitioner,
     opt_cfg: OptimizerConfig,
     max_steps: int,
-    donate: bool = True,
+    data_axis: str | None = None,
 ):
     """DAT step that computes the ensemble ENCODER forward once.
 
@@ -275,6 +275,11 @@ def make_dat_train_step_fused(
     tx = adamw_direction(opt_cfg)
     schedule = polynomial_schedule(opt_cfg, max_steps)
     P = partitioner
+
+    def maybe_pmean(tree):
+        if data_axis is None:
+            return tree
+        return jax.lax.pmean(tree, data_axis)
 
     def step(state: TrainState, batch: Dict[str, Any]):
         rng, d0, d1 = jax.random.split(state.rng, 3)
@@ -303,6 +308,7 @@ def make_dat_train_step_fused(
         (l1, logits_1), grads1 = jax.value_and_grad(loss1, argnums=(0, 1), has_aux=True)(
             shared, head
         )
+        grads1 = maybe_pmean(grads1)
         lr1 = schedule(state.sched_count)
         new_shared, opt_shared = apply_direction(tx, grads1[0], state.opt_states["shared"], shared, lr1)
         head, opt_head = apply_direction(tx, grads1[1], state.opt_states["head"], head, lr1)
@@ -318,6 +324,7 @@ def make_dat_train_step_fused(
 
         l0, (g_head, g_pooled) = jax.value_and_grad(loss0, argnums=(0, 1))(head, pooled)
         (g_local,) = enc_vjp(g_pooled)
+        g_local, g_head = maybe_pmean((g_local, g_head))
         lr0 = schedule(state.sched_count + 1)
         new_local, opt_local = apply_direction(tx, g_local, state.opt_states["local"], local, lr0)
         head, opt_head = apply_direction(tx, g_head, opt_head, head, lr0)
@@ -332,6 +339,22 @@ def make_dat_train_step_fused(
         )
         return new_state, {"loss": l0, "loss_shared": l1, "lr": lr0}
 
+    return step
+
+
+def make_dat_train_step_fused(
+    encode_fn,
+    head_fn,
+    task_loss_fn,
+    partitioner: Partitioner,
+    opt_cfg: OptimizerConfig,
+    max_steps: int,
+    donate: bool = True,
+):
+    """Jitted wrapper around :func:`dat_step_core_fused` (see its docstring)."""
+    step = dat_step_core_fused(
+        encode_fn, head_fn, task_loss_fn, partitioner, opt_cfg, max_steps
+    )
     if donate:
         return jax.jit(step, donate_argnums=(0,))
     return jax.jit(step)

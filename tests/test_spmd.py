@@ -161,3 +161,21 @@ def test_spmd_eval_with_heterogeneous_eval_sizes():
     entry = trainer.evaluate_round(0)
     for task, scores in entry["scores"].items():
         assert all(0.0 <= s <= 100.0 for s in scores), (task, scores)
+
+
+def test_spmd_fused_matches_spmd_standard():
+    """SPMD with the fused DAT core == SPMD with the standard core."""
+    model, params, clients, cfg = _setup(num_clients=2)
+    t_std = SPMDFederatedTrainer(
+        model, params, clients, cfg, make_mesh(num_clients=2, data_parallel=1)
+    )
+    t_fused = SPMDFederatedTrainer(
+        model, params, clients, cfg, make_mesh(num_clients=2, data_parallel=1),
+        use_fused=True,
+    )
+    t_std.run_round(0)
+    t_fused.run_round(0)
+    f0 = traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, t_std.client_state))
+    f1 = traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, t_fused.client_state))
+    for k in f0:
+        np.testing.assert_allclose(f0[k], f1[k], rtol=5e-4, atol=1e-6, err_msg=str(k))
