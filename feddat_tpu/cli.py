@@ -102,6 +102,8 @@ def build_clients(args, task_keys, tokenizer):
             pipe = AlbefVQAPipeline(
                 examples, backend, tokenizer, answer_list,
                 batch_size=args.batch_size, seed=args.seed,
+                **({"image_size": 64, "max_question_len": 12, "max_answer_len": 6}
+                   if args.smoke else {}),
             )
             answer_banks[key] = (pipe.answer_ids, pipe.answer_mask)
             clients[key] = pipe
@@ -158,14 +160,39 @@ def main(argv=None) -> int:
 
     if args.vocab_file:
         tokenizer = WordPieceTokenizer.from_vocab_file(args.vocab_file)
+        try:  # prefer the GIL-free C++ batch tokenizer when the toolchain exists
+            from feddat_tpu import native
+
+            if native.available():
+                tokenizer = native.NativeWordPiece(tokenizer.vocab)
+                logger.info("using native C++ WordPiece tokenizer")
+        except Exception:
+            pass
     else:
         logger.warning("no --vocab_file given; using a toy tokenizer (tests/dev only)")
         tokenizer = WordPieceTokenizer.toy(["what", "is", "the", "a"])
 
     heads = {k: TaskHeadSpec(num_labels=100) for k in task_keys}
-    if args.smoke:
-        import dataclasses
+    if args.smoke and args.encoder_name.startswith("albef"):
+        from feddat_tpu.configs.core import (
+            AlbefBertConfig,
+            AlbefModelConfig,
+            adapter_spec_for_mode,
+        )
+        from feddat_tpu.models.albef import AlbefModel
 
+        smoke_bert = AlbefBertConfig(
+            hidden_size=32, num_layers=4, num_heads=4, intermediate_size=64,
+            hidden_dropout=0.0, attention_dropout=0.0, fusion_layer=2,
+        )
+        smoke_cfg = AlbefModelConfig(
+            image_res=64, patch_size=32, vision_width=32, vision_layers=2,
+            vision_heads=4, bert=smoke_bert, decoder_layers=2,
+            adapter=adapter_spec_for_mode(mode, 4),
+            distill=(args.encoder_name == "albef_distill"),
+        )
+        model, model_cfg = AlbefModel(smoke_cfg), smoke_cfg
+    elif args.smoke:
         from feddat_tpu.configs.core import ViltModelConfig, adapter_spec_for_mode
         from feddat_tpu.models.vilt import ViltContinualLearner
 

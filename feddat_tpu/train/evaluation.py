@@ -63,6 +63,9 @@ def make_albef_eval_step(model, answer_ids, answer_mask, k: int = 64, pad_token_
 
     answer_ids = jnp.asarray(answer_ids)
     answer_mask = jnp.asarray(answer_mask)
+    # a bank smaller than k caps the candidate count (the reference assumes
+    # 100 answers >= k=64; small dev banks must not crash)
+    k = min(k, int(answer_ids.shape[0]))
 
     @partial(jax.jit, static_argnames=("adapter_mode",))
     def step(params, batch, adapter_mode="none"):

@@ -93,3 +93,36 @@ def test_cli_smoke_end_to_end(fake_task):
     history = json.load(open(out_dir / histories[0]))
     assert history and "testtask" in history[-1]["scores"]
     assert len(history[-1]["scores"]["testtask"]) == 3  # DAT 3-mode eval
+
+
+def test_cli_albef_smoke_end_to_end(fake_task):
+    data_root, vocab_file, tmp_path = fake_task
+    # the ALBEF path additionally needs the task's ans2label pickle
+    task_dir = data_root / "testtask"
+    with open(task_dir / "ans2label.pkl", "wb") as f:
+        pickle.dump({c: i for i, c in enumerate("abcdefgh")}, f)
+
+    from feddat_tpu.cli import main
+
+    out_dir = tmp_path / "logs_albef"
+    rc = main(
+        [
+            "--encoder_name", "albef_no_distill",
+            "--optimizer_mode", "dat",
+            "--ordered_cl_tasks", "testtask",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--smoke",
+        ]
+    )
+    assert rc == 0
+    histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
+    history = json.load(open(out_dir / histories[0]))
+    assert history and "testtask" in history[-1]["scores"]
