@@ -138,11 +138,7 @@ class SPMDFederatedTrainer:
             core = dat_step_core(
                 forward, self.partitioner, config.optimizer, max_steps, data_axis=DATA_AXIS
             )
-        tx_init = partial(init_train_state, partitioner=self.partitioner, opt_cfg=config.optimizer)
-
         from flax import traverse_util as _tu
-
-        backbone_flat_paths = frozenset(_tu.flatten_dict(self.backbone).keys())
 
         def merge_full(backbone, client_part):
             flat = dict(_tu.flatten_dict(backbone))
@@ -155,8 +151,6 @@ class SPMDFederatedTrainer:
 
         self._merge_full = merge_full
         self._extract_client = extract_client
-
-        state_specs = None  # filled after first init
 
         def slot_step(backbone, client_part, opt_states, sched_count, rng, batch):
             """One DAT step for one (client, data) mesh slot."""
