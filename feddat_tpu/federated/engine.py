@@ -244,6 +244,7 @@ class FederatedTrainer:
 
     def run_round(self, round_idx: int) -> None:
         t0 = time.time()
+        self._last_round_wall_s = 0.0
         comm_subtrees = []
         for client in self.clients:
             trained = self.train_client(client, round_idx)
@@ -259,7 +260,8 @@ class FederatedTrainer:
 
             _, rest = split_by_roles(self.server_params, self.labels, self._comm_roles)
             self.server_params = merge(rest, averaged)
-        logger.info("round %d done in %.2fs", round_idx, time.time() - t0)
+        self._last_round_wall_s = time.time() - t0
+        logger.info("round %d done in %.2fs", round_idx, self._last_round_wall_s)
 
     def evaluate_round(self, round_idx: int) -> Dict[str, Any]:
         """Eval each client's personalized model (``main.py:520-558``)."""
@@ -282,7 +284,7 @@ class FederatedTrainer:
         self.history.append(entry)
         logger.info("eval %s", entry)
         if self.metrics is not None:
-            self.metrics.round(round_idx, results, 0.0)
+            self.metrics.round(round_idx, results, getattr(self, "_last_round_wall_s", 0.0))
         return entry
 
     # -- checkpoint / resume (real persistence the reference lacks,
