@@ -24,20 +24,41 @@ def _is_punctuation(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
-def _basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
-    """Whitespace split + punctuation split + accent stripping (BERT basic)."""
-    if lowercase:
-        text = text.lower()
-        text = unicodedata.normalize("NFD", text)
-        text = "".join(ch for ch in text if unicodedata.category(ch) != "Mn")
+def _is_whitespace(ch: str) -> bool:
+    if ch in " \t\n\r":
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in "\t\n\r":
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def _strip_accents(text: str) -> str:
+    text = unicodedata.normalize("NFD", text)
+    return "".join(ch for ch in text if unicodedata.category(ch) != "Mn")
+
+
+def _split_on_punc(token: str) -> List[str]:
     out: List[str] = []
-    current = []
-    for ch in text:
-        if ch.isspace():
-            if current:
-                out.append("".join(current))
-                current = []
-        elif _is_punctuation(ch):
+    current: List[str] = []
+    for ch in token:
+        if _is_punctuation(ch):
             if current:
                 out.append("".join(current))
                 current = []
@@ -46,6 +67,37 @@ def _basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
             current.append(ch)
     if current:
         out.append("".join(current))
+    return out
+
+
+def _basic_tokenize(
+    text: str, lowercase: bool = True, never_split: Sequence[str] = ()
+) -> List[str]:
+    """BERT BasicTokenizer parity: clean text (drop control chars, normalize
+    whitespace), space out CJK chars, whitespace-split, keep never-split
+    specials verbatim, else lowercase -> strip accents -> split punctuation.
+    Matches HF ``BertTokenizer`` (reference vendors it verbatim,
+    ``tokenization_bert.py``); parity tested in
+    ``tests/test_tokenizer_hf_parity.py``."""
+    cleaned: List[str] = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        if _is_cjk(cp):
+            cleaned.append(f" {ch} ")
+        elif _is_whitespace(ch):
+            cleaned.append(" ")
+        else:
+            cleaned.append(ch)
+    out: List[str] = []
+    for token in "".join(cleaned).split():
+        if token in never_split:
+            out.append(token)
+            continue
+        if lowercase:
+            token = _strip_accents(token.lower())
+        out.extend(_split_on_punc(token))
     return out
 
 
@@ -107,7 +159,8 @@ class WordPieceTokenizer:
 
     def tokenize(self, text: str) -> List[str]:
         out = []
-        for word in _basic_tokenize(text, self.lowercase):
+        specials = (PAD, UNK, CLS, SEP, MASK)
+        for word in _basic_tokenize(text, self.lowercase, never_split=specials):
             out.extend(self.wordpiece(word))
         return out
 

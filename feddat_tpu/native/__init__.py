@@ -99,7 +99,14 @@ def resize_normalize_batch(
 
 
 class NativeWordPiece:
-    """C++ WordPiece over a vocab mapping (token -> id by line order)."""
+    """C++ WordPiece over a vocab mapping (token -> id by line order).
+
+    Interface-compatible with :class:`WordPieceTokenizer`: the GIL-free
+    batch path is native; the per-string methods (``tokenize``,
+    ``convert_tokens_to_ids``, ``encode`` — used by the cache-miss ingestion
+    path in ``data/datasets.py``) delegate to the pure-Python tokenizer,
+    which is parity-tested against both (``tests/test_tokenizer_hf_parity.py``).
+    """
 
     def __init__(self, vocab: dict, unk="[UNK]", cls="[CLS]", sep="[SEP]", pad="[PAD]"):
         lib = _load()
@@ -112,19 +119,50 @@ class NativeWordPiece:
         self._handle = lib.wp_create(
             blob, vocab[unk], vocab[cls], vocab[sep], vocab[pad]
         )
+        self.vocab = vocab
         self.pad_token_id = vocab[pad]
         self.cls_token_id = vocab[cls]
         self.sep_token_id = vocab[sep]
+        from feddat_tpu.data.tokenizer import WordPieceTokenizer
+
+        self._py = WordPieceTokenizer(vocab)
+
+    def tokenize(self, text):
+        return self._py.tokenize(text)
+
+    def convert_tokens_to_ids(self, tokens):
+        return self._py.convert_tokens_to_ids(tokens)
+
+    def encode(self, text, max_length=None, add_special_tokens=True):
+        return self._py.encode(text, max_length=max_length, add_special_tokens=add_special_tokens)
+
+    def decode(self, ids, skip_special=True):
+        return self._py.decode(ids, skip_special=skip_special)
 
     def batch_encode(self, texts: Sequence[str], max_length: int, num_threads: int = 8):
+        """HF-parity batch encode.  The C++ path implements the ASCII subset
+        of BERT basic-tokenization exactly; the rare non-ASCII string (VQA
+        questions are overwhelmingly ASCII) goes through the parity-tested
+        Python tokenizer so results are identical either way."""
         n = len(texts)
         ids = np.empty((n, max_length), np.int32)
         mask = np.empty((n, max_length), np.int32)
-        blob = b"\x00".join(t.encode("utf-8") for t in texts) + b"\x00"
+        non_ascii = [i for i, t in enumerate(texts) if not t.isascii()]
+        # NUL is the blob separator; HF's clean_text removes NULs anyway.
+        blob = b"\x00".join(
+            (t.replace("\x00", "") if t.isascii() else "").encode("utf-8")
+            for t in texts
+        ) + b"\x00"
         self._lib.wp_encode_batch(
             self._handle, blob, n, ids.ctypes.data, mask.ctypes.data,
             max_length, num_threads,
         )
+        for i in non_ascii:
+            enc = self._py.encode(texts[i], max_length=max_length)
+            ids[i] = self.pad_token_id
+            mask[i] = 0
+            ids[i, : len(enc)] = enc
+            mask[i, : len(enc)] = 1
         return ids, mask
 
     def __del__(self):

@@ -152,39 +152,74 @@ static void wordpiece_word(const WordPiece& wp, const std::string& word,
   out.insert(out.end(), pieces.begin(), pieces.end());
 }
 
-// Lowercase ASCII basic-tokenize + WordPiece, with [CLS]/[SEP] framing and
-// padding to max_len.  Returns the number of non-pad tokens.
+// ASCII basic-tokenize + WordPiece with HF BertTokenizer parity (the Python
+// wrapper routes any text containing non-ASCII bytes through the pure-Python
+// tokenizer, so this path only ever sees ASCII):
+//   * ASCII control chars (Cc: <0x20 except \t\n\r, and 0x7f) are REMOVED
+//     (HF clean_text), \t\n\r count as whitespace;
+//   * whole whitespace-delimited tokens matching a never-split special
+//     ([PAD]/[UNK]/[CLS]/[SEP]/[MASK]) are kept verbatim;
+//   * otherwise lowercase, split punctuation, greedy WordPiece.
+// Output: [CLS] + pieces[:max_len-2] + [SEP], padded.  Returns #non-pad.
 int32_t wp_encode(void* handle, const char* text, int32_t* out_ids,
                   int32_t max_len) {
   const auto& wp = *static_cast<WordPiece*>(handle);
-  std::vector<int32_t> ids;
-  ids.push_back(wp.cls);
-  std::string word;
-  auto flush = [&]() {
-    if (!word.empty()) {
-      wordpiece_word(wp, word, ids);
-      word.clear();
+  static const char* kSpecials[] = {"[PAD]", "[UNK]", "[CLS]", "[SEP]",
+                                    "[MASK]"};
+  std::vector<int32_t> ids;  // body tokens (no CLS/SEP)
+  const int32_t budget = max_len - 2;
+  std::string raw;  // whitespace-delimited token, original case
+  auto flush_token = [&]() {
+    if (raw.empty()) return;
+    for (const char* s : kSpecials) {
+      if (raw == s) {
+        auto it = wp.vocab.find(raw);
+        ids.push_back(it != wp.vocab.end() ? it->second : wp.unk);
+        raw.clear();
+        return;
+      }
     }
+    // lowercase + split punctuation, WordPiece each run
+    std::string word;
+    auto flush_word = [&]() {
+      if (!word.empty()) {
+        wordpiece_word(wp, word, ids);
+        word.clear();
+      }
+    };
+    for (unsigned char ch : raw) {
+      if (is_punct(ch)) {
+        flush_word();
+        word.push_back(static_cast<char>(ch));
+        flush_word();
+      } else {
+        word.push_back(static_cast<char>(std::tolower(ch)));
+      }
+    }
+    flush_word();
+    raw.clear();
   };
   for (const char* p = text; *p; ++p) {
     unsigned char ch = *p;
-    if (std::isspace(ch)) {
-      flush();
-    } else if (is_punct(ch)) {
-      flush();
-      word.push_back(static_cast<char>(ch));
-      flush();
+    if (ch == '\t' || ch == '\n' || ch == '\r' || ch == ' ') {
+      flush_token();
+      if (static_cast<int32_t>(ids.size()) >= budget) break;
+    } else if (ch < 0x20 || ch == 0x7f) {
+      continue;  // control char: removed, does NOT split the word
     } else {
-      word.push_back(static_cast<char>(std::tolower(ch)));
+      raw.push_back(static_cast<char>(ch));
     }
-    if (static_cast<int32_t>(ids.size()) >= max_len - 1) break;
   }
-  flush();
-  if (static_cast<int32_t>(ids.size()) > max_len - 1) ids.resize(max_len - 1);
-  ids.push_back(wp.sep);
-  int32_t n = static_cast<int32_t>(ids.size());
+  flush_token();
+  if (static_cast<int32_t>(ids.size()) > budget) ids.resize(budget);
+  std::vector<int32_t> framed;
+  framed.reserve(ids.size() + 2);
+  framed.push_back(wp.cls);
+  framed.insert(framed.end(), ids.begin(), ids.end());
+  framed.push_back(wp.sep);
+  int32_t n = static_cast<int32_t>(framed.size());
   for (int32_t i = 0; i < max_len; ++i)
-    out_ids[i] = i < n ? ids[i] : wp.pad;
+    out_ids[i] = i < n ? framed[i] : wp.pad;
   return n;
 }
 
