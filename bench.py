@@ -1,19 +1,24 @@
-"""Benchmark: ViLT-B/32 DAT+MKD federated train-step throughput on one chip.
+"""Benchmark: DAT+MKD federated train-step throughput on one chip.
 
 Measures samples/sec/chip of the full DAT training step (3 forwards +
 2 backwards + 2 AdamW updates per batch, the reference's per-batch cost —
-``task_trainer.py:280-330``) on the flagship ViLT-B/32 with triple adapters
-at reduction 16.
+``task_trainer.py:280-330``) for BOTH model families:
+
+  * ViLT-B/32 with triple adapters at reduction 16 (the flagship metric,
+    printed LAST so drivers that parse the tail line get it);
+  * ALBEF (ViT-B/16@384 + fusion BERT + 6-layer decoder) DAT train step +
+    the rank-answer eval hot loop (``albef_model.py:171-228``) in q/s.
 
 ``vs_baseline`` compares the TPU-tuned configuration (bf16 compute, large
 batch, fused jitted step, donated buffers) against the *reference run
 configuration* executed by this same framework: batch size 2 and fp32
-compute, mirroring ``src/train_vilt.sh`` (batch 2, fp16-autocast on GPU).
-The reference PyTorch implementation itself cannot run on TPU hardware; its
-configuration can, and is the closest measurable stand-in for "what the
-reference does per chip".
+compute, mirroring ``src/train_vilt.sh`` / ``src/train_albef.sh`` (batch 2,
+fp16-autocast on GPU).  The reference PyTorch implementation itself cannot
+run on TPU hardware; its configuration can, and is the closest measurable
+stand-in for "what the reference does per chip".
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line PER METRIC: {"metric", "value", "unit", "vs_baseline"};
+the flagship ViLT line is last.
 """
 
 import json
@@ -137,10 +142,135 @@ def _measure(batch_size: int, dtype: str, warmup=3, iters=20) -> float:
     return batch_size * iters / dt
 
 
+def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    from feddat_tpu.configs.core import (
+        AdapterSpec,
+        AlbefBertConfig,
+        AlbefModelConfig,
+        OptimizerConfig,
+        PEFTMode,
+    )
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from feddat_tpu.train.dat import Partitioner, init_train_state, make_dat_train_step
+    from feddat_tpu.train.forwards import make_albef_forward
+    from feddat_tpu.train.trainers import make_albef_fused_dat_step
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        cfg = AlbefModelConfig(
+            adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
+            remat=True,
+        )
+    else:  # CPU smoke-scale
+        cfg = AlbefModelConfig(
+            image_res=64, patch_size=32, vision_width=32, vision_layers=2, vision_heads=4,
+            bert=AlbefBertConfig(vocab_size=200, hidden_size=32, num_layers=4, num_heads=4,
+                                 intermediate_size=64, fusion_layer=2),
+            decoder_layers=2, max_question_len=8, max_answer_len=6,
+            adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
+        )
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = AlbefModel(cfg, dtype=jdtype)
+    rng = np.random.RandomState(0)
+    B, A, Lq, La = batch_size, answers_per_q, cfg.max_question_len, cfg.max_answer_len
+    V = cfg.bert.vocab_size
+    batch = {
+        "pixel_values": rng.randn(B, cfg.image_res, cfg.image_res, 3).astype(np.float32),
+        "question_ids": rng.randint(5, V, size=(B, Lq)).astype(np.int32),
+        "question_mask": np.ones((B, Lq), np.int32),
+        "answer_ids": rng.randint(5, V, size=(B, A, La)).astype(np.int32),
+        "answer_mask": np.ones((B, A, La), np.int32),
+        "answer_weights": np.full((B, A), 1.0 / A, np.float32),
+    }
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch)
+    opt = OptimizerConfig()
+    part = Partitioner(params, "fed", PEFTMode.DAT)
+    state = init_train_state(params, part, opt, jax.random.PRNGKey(0))
+    if dtype == "bfloat16":
+        step, _ = make_albef_fused_dat_step(model, params, opt, max_steps=10_000, donate=True)
+    else:
+        forward = make_albef_forward(model)
+        step = make_dat_train_step(forward, part, opt, max_steps=10_000)
+    return model, params, step, state, batch
+
+
+def _measure_albef_train(batch_size: int, dtype: str, warmup=3, iters=15) -> float:
+    import jax
+
+    _, _, step, state, batch = _build_albef(batch_size, dtype)
+    batch = jax.device_put(batch)
+    for _ in range(warmup):
+        state, m = step(state, batch)
+    float(m["loss"])  # scalar-readback fence (axon relay)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def _measure_albef_rank(batch_size: int = 16, bank: int = 100, k: int = 64,
+                        warmup=2, iters=10) -> float:
+    """Rank-answer eval throughput (two-stage top-k, the reference's eval
+    hot loop ``albef_model.py:171-228``) in questions/s."""
+    import jax
+
+    from feddat_tpu.train.evaluation import make_albef_eval_step
+
+    model, params, _, _, batch = _build_albef(batch_size, "bfloat16")
+    rng = np.random.RandomState(1)
+    La = batch["answer_ids"].shape[-1]
+    V = model.cfg.bert.vocab_size
+    answer_ids = rng.randint(5, V, size=(bank, La)).astype(np.int32)
+    answer_mask = np.ones((bank, La), np.int32)
+    eval_batch = {
+        "pixel_values": batch["pixel_values"],
+        "question_ids": batch["question_ids"],
+        "question_mask": batch["question_mask"],
+        "gt_labels": rng.randint(0, bank, size=(batch_size, 10)).astype(np.int64),
+    }
+    eval_step = make_albef_eval_step(model, answer_ids, answer_mask, k=k)
+    eval_batch = jax.device_put(eval_batch)
+    for _ in range(warmup):
+        s = eval_step(params, eval_batch, adapter_mode="ensemble")
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = eval_step(params, eval_batch, adapter_mode="ensemble")
+    float(s)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
 def main():
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"
+
+    # -- ALBEF (secondary metrics, printed first) --------------------------
+    albef_bs = 16 if on_tpu else 4
+    albef_tuned = _measure_albef_train(albef_bs, "bfloat16")
+    albef_base = _measure_albef_train(2, "float32", warmup=2, iters=6)
+    rank_qps = _measure_albef_rank(batch_size=16 if on_tpu else 2,
+                                   bank=100, k=64 if on_tpu else 8)
+    print(
+        json.dumps(
+            {
+                "metric": "albef_dat_train_samples_per_sec_per_chip",
+                "value": round(albef_tuned, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(albef_tuned / albef_base, 2),
+                "rank_answer_questions_per_sec": round(rank_qps, 2),
+            }
+        ),
+        flush=True,
+    )
+
+    # -- ViLT (flagship metric, LAST line) ----------------------------------
     tuned_bs = 64 if on_tpu else 8
     tuned = _measure(tuned_bs, "bfloat16")
     baseline = _measure(2, "float32", warmup=2, iters=10)

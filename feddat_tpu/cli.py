@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_freq", type=int, default=100)
     # TPU-native additions
     p.add_argument("--engine", default="sequential", choices=["sequential", "spmd"])
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed and build the (client, data) "
+                        "mesh over every host's devices (clients on DCN-adjacent "
+                        "process blocks, data-parallel riding ICI)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port for jax.distributed on bare-metal launches "
+                        "(omit on TPU pods/GKE: autodetected)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--mesh_clients", type=int, default=None)
@@ -78,41 +87,142 @@ def resolve_task_keys(spec: str):
     return resolve_clients(spec)
 
 
-def build_clients(args, task_keys, tokenizer):
-    """Real-data pipelines per client -> (clients, answer_banks)."""
-    from feddat_tpu.configs.tasks import TASK_CONFIGS
+def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
+    """Federated cross-VQA client (the reference's ``VQATrainerCross`` data
+    path, ``train_vqa_crossvqa.py:39-230``)."""
     from feddat_tpu.data.albef_pipeline import AlbefVQAPipeline
     from feddat_tpu.data.datasets import load_ans2label, load_examples
     from feddat_tpu.data.images import make_backend
     from feddat_tpu.data.pipeline import ViltVQAPipeline
 
-    is_albef = args.encoder_name.startswith("albef")
-    clients, answer_banks = {}, {}
-    train_split = args.splits[0]
-    for key in task_keys:
-        spec = TASK_CONFIGS[key]
-        examples = load_examples(
-            key, spec.data_dir, train_split, data_root=args.climb_data_dir,
-            tokenizer=tokenizer, shuffle_seed=args.seed,
+    train_split, eval_split = args.splits[0], args.splits[-1]
+    examples = load_examples(
+        key, spec.data_dir, train_split, data_root=args.climb_data_dir,
+        tokenizer=tokenizer, shuffle_seed=args.seed,
+    )
+    eval_examples = None
+    if eval_split != train_split:
+        try:
+            eval_examples = load_examples(
+                key, spec.data_dir, eval_split, data_root=args.climb_data_dir,
+                tokenizer=tokenizer,
+            )
+        except (FileNotFoundError, OSError):
+            pass  # dev/test fixtures without an eval split: eval on train
+    backend = make_backend(spec.images_source, key, args.climb_data_dir)
+    if args.encoder_name.startswith("albef"):
+        ans2label = load_ans2label(key, spec.data_dir, args.climb_data_dir)
+        answer_list = list(ans2label.keys())[:100]  # vqa_dataset_crossvqa.py:301
+        pipe = AlbefVQAPipeline(
+            examples, backend, tokenizer, answer_list,
+            batch_size=args.batch_size, seed=args.seed, eval_examples=eval_examples,
+            **({"image_size": 64, "max_question_len": 12, "max_answer_len": 6}
+               if args.smoke else {}),
+        )
+        answer_banks[key] = (pipe.answer_ids, pipe.answer_mask)
+        return pipe
+    return ViltVQAPipeline(
+        examples, backend, tokenizer,
+        num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
+        eval_examples=eval_examples,
+        **({"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}),
+    )
+
+
+def _build_classification_client(args, key, spec, tokenizer):
+    """Non-federated VL tasks through their reference trainers' data paths:
+    VQAv2 5%% low-shot (``train_vqa.py:70-71``), NLVR2 2048/256-per-class +
+    halved batch (``train_nlvr2.py:91-92``, ``nlvr2_dataset.py:170``),
+    SNLI-VE 2048/256 per class over train/dev (``train_snli_ve.py:99-100``),
+    VCR 5%% low-shot 'answer' task (``train_vcr.py:94-95``)."""
+    import os
+
+    from feddat_tpu.data.classification_datasets import (
+        Nlvr2Pipeline,
+        SnliVePipeline,
+        VcrPipeline,
+        convert_to_low_shot_per_class,
+        load_nlvr2_examples,
+        load_snli_ve_examples,
+        load_vcr_examples,
+    )
+    from feddat_tpu.data.datasets import convert_to_low_shot, load_vqav2_examples
+    from feddat_tpu.data.images import make_backend
+    from feddat_tpu.data.pipeline import ViltVQAPipeline
+
+    data_dir = os.path.join(args.climb_data_dir, spec.data_dir)
+    smoke_kw = {"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}
+    canvas = smoke_kw.get("canvas", (384, 640))
+    max_text_len = smoke_kw.get("max_text_len", 40)
+
+    if spec.trainer == "vqa":
+        ex = convert_to_low_shot(
+            load_vqav2_examples(data_dir, "train", tokenizer), 0.05, seed=args.seed
+        )
+        ev = convert_to_low_shot(
+            load_vqav2_examples(data_dir, "val", tokenizer), 0.05, seed=args.seed
         )
         backend = make_backend(spec.images_source, key, args.climb_data_dir)
-        if is_albef:
-            ans2label = load_ans2label(key, spec.data_dir, args.climb_data_dir)
-            answer_list = list(ans2label.keys())[:100]  # vqa_dataset_crossvqa.py:301
-            pipe = AlbefVQAPipeline(
-                examples, backend, tokenizer, answer_list,
-                batch_size=args.batch_size, seed=args.seed,
-                **({"image_size": 64, "max_question_len": 12, "max_answer_len": 6}
-                   if args.smoke else {}),
-            )
-            answer_banks[key] = (pipe.answer_ids, pipe.answer_mask)
-            clients[key] = pipe
+        return ViltVQAPipeline(
+            ex, backend, tokenizer, num_labels=spec.num_labels,
+            batch_size=args.batch_size, seed=args.seed, eval_examples=ev, **smoke_kw,
+        )
+    if spec.trainer == "nlvr2":
+        ex = convert_to_low_shot_per_class(
+            load_nlvr2_examples(data_dir, "train"), spec.num_labels, 2048, seed=args.seed
+        )
+        ev = convert_to_low_shot_per_class(
+            load_nlvr2_examples(data_dir, "val"), spec.num_labels, 256, seed=args.seed
+        )
+        return Nlvr2Pipeline(
+            ex, tokenizer, max_text_len, canvas,
+            batch_size=max(1, args.batch_size // 2), seed=args.seed, eval_examples=ev,
+        )
+    if spec.trainer == "snli_ve":
+        ex = convert_to_low_shot_per_class(
+            load_snli_ve_examples(data_dir, "train"), spec.num_labels, 2048, seed=args.seed
+        )
+        ev = convert_to_low_shot_per_class(
+            load_snli_ve_examples(data_dir, "dev"), spec.num_labels, 256, seed=args.seed
+        )
+        backend = make_backend(spec.images_source, key, args.climb_data_dir)
+        return SnliVePipeline(
+            ex, backend, tokenizer, max_text_len, canvas,
+            batch_size=args.batch_size, seed=args.seed, eval_examples=ev,
+        )
+    if spec.trainer == "vcr":
+        from feddat_tpu.data.datasets import convert_to_low_shot as low_shot_pct
+
+        ex = low_shot_pct(load_vcr_examples(data_dir, "train", "qa"), 0.05, seed=args.seed)
+        ev = low_shot_pct(load_vcr_examples(data_dir, "val", "qa"), 0.05, seed=args.seed)
+        return VcrPipeline(
+            ex, tokenizer, max_text_len, canvas, batch_size=args.batch_size,
+            num_choices=spec.num_choices, seed=args.seed,
+            image_root=data_dir, eval_examples=ev,
+        )
+    raise KeyError(f"unknown trainer kind {spec.trainer!r} for task {key!r}")
+
+
+def build_clients(args, task_keys, tokenizer):
+    """Per-client data pipelines routed by ``TaskSpec.trainer`` (the
+    reference dispatches through ``task_configs[task_key]['task_trainer']``,
+    ``src/train/main.py:482-483``) -> (clients, answer_banks)."""
+    from feddat_tpu.configs.tasks import TASK_CONFIGS
+
+    clients, answer_banks = {}, {}
+    for key in task_keys:
+        spec = TASK_CONFIGS[key]
+        if spec.trainer == "vqa_cross":
+            pipe = _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks)
         else:
-            clients[key] = ViltVQAPipeline(
-                examples, backend, tokenizer,
-                num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
-                **({"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}),
-            )
+            if args.encoder_name.startswith("albef"):
+                raise NotImplementedError(
+                    f"task {key!r} ({spec.trainer}) is a ViLT-family task; "
+                    "the reference has no ALBEF path for it either"
+                )
+            pipe = _build_classification_client(args, key, spec, tokenizer)
+        pipe.task_key = key
+        clients[key] = pipe
     return clients, answer_banks
 
 
@@ -120,6 +230,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.multihost:
+        from feddat_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
 
     from feddat_tpu.configs.core import (
         FederatedConfig,
@@ -172,7 +289,29 @@ def main(argv=None) -> int:
         logger.warning("no --vocab_file given; using a toy tokenizer (tests/dev only)")
         tokenizer = WordPieceTokenizer.toy(["what", "is", "the", "a"])
 
-    heads = {k: TaskHeadSpec(num_labels=100) for k in task_keys}
+    from feddat_tpu.configs.tasks import TASK_CONFIGS
+
+    def head_spec(key):
+        spec = TASK_CONFIGS[key]
+        return TaskHeadSpec(
+            num_labels=spec.num_labels, num_images=spec.num_images,
+            model_type=spec.model_type, num_choices=spec.num_choices,
+        )
+
+    if args.engine == "spmd":
+        # The SPMD engine stacks all clients' heads into one sharded bank, so
+        # the model carries a single shared head module named task_<FED_HEAD_KEY>
+        # (every federated VQA client has num_labels=100, task_configs_fed.py:44).
+        from feddat_tpu.federated.spmd import FED_HEAD_KEY
+
+        specs = {head_spec(k) for k in task_keys}
+        if len(specs) != 1:
+            raise ValueError(
+                f"--engine spmd needs a uniform head shape across clients; got {specs}"
+            )
+        heads = {FED_HEAD_KEY: next(iter(specs))}
+    else:
+        heads = {k: head_spec(k) for k in task_keys}
     if args.smoke and args.encoder_name.startswith("albef"):
         from feddat_tpu.configs.core import (
             AlbefBertConfig,
@@ -248,37 +387,74 @@ def main(argv=None) -> int:
         wandb_run_name=run_name,
     )
 
+    from feddat_tpu.train.trainers import resolve_trainer
+
     if args.engine == "spmd":
         from feddat_tpu.federated.spmd import SPMDFederatedTrainer
-        from feddat_tpu.parallel.mesh import make_mesh
+        from feddat_tpu.parallel.mesh import make_mesh, make_multihost_mesh
 
-        mesh = make_mesh(
-            num_clients=args.mesh_clients or len(task_keys),
-            data_parallel=args.mesh_data,
-        )
+        if args.multihost:
+            mesh = make_multihost_mesh(
+                num_clients=args.mesh_clients or len(task_keys),
+                data_parallel=args.mesh_data,
+            )
+        else:
+            mesh = make_mesh(
+                num_clients=args.mesh_clients or len(task_keys),
+                data_parallel=args.mesh_data,
+            )
         trainer = SPMDFederatedTrainer(
-            model, params, list(clients.values()), config, mesh
+            model, params, list(clients.values()), config, mesh,
+            use_fused=args.use_fused_dat,
+            checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
         )
         history = trainer.run()
     else:
         from feddat_tpu.federated.engine import FederatedTrainer
-        from feddat_tpu.train.trainers import resolve_trainer
 
-        from feddat_tpu.configs.tasks import TASK_CONFIGS
+        # Hooks dispatch per task kind, so a mixed client set (the reference's
+        # ``task_configs[task_key]['task_trainer']`` dynamic routing,
+        # main.py:482-483) works in one run.
+        def hooks_for(task_key):
+            return resolve_trainer(
+                args.encoder_name, TASK_CONFIGS[task_key].trainer,
+                answer_banks=answer_banks,
+            )
 
-        trainer_kind = TASK_CONFIGS[task_keys[0]].trainer
-        hooks = resolve_trainer(
-            args.encoder_name, trainer_kind, answer_banks=answer_banks
-        )
+        def make_forward(model_, task_key):
+            return hooks_for(task_key).make_forward(model_, task_key)
+
+        def make_eval(model_, task_key):
+            h = hooks_for(task_key)
+            if h.make_eval is not None:
+                return h.make_eval(model_, task_key)
+            from feddat_tpu.train.evaluation import make_eval_step
+
+            return make_eval_step(model_, task_key, h.metric)
+
+        first_hooks = hooks_for(task_keys[0])
+        # Non-federated tasks take lr/wd/eps/warmup from the task config
+        # (``train_nlvr2.py:88-97``); the federated cross-VQA path uses --lr.
+        opt_overrides = {
+            k: OptimizerConfig(
+                lr=TASK_CONFIGS[k].lr,
+                weight_decay=TASK_CONFIGS[k].weight_decay,
+                adam_eps=TASK_CONFIGS[k].adam_epsilon,
+                warmup_ratio=TASK_CONFIGS[k].warmup_ratio,
+            )
+            for k in task_keys
+            if TASK_CONFIGS[k].trainer != "vqa_cross"
+        }
         trainer = FederatedTrainer(
             model, params, clients, config,
-            make_forward=hooks.make_forward,
-            make_eval=hooks.make_eval,
-            metric=hooks.metric,
-            aux_init=hooks.aux_init,
-            batch_transform=hooks.batch_transform,
-            aux_forward=hooks.aux_forward,
+            make_forward=make_forward,
+            make_eval=make_eval,
+            metric=first_hooks.metric,
+            aux_init=first_hooks.aux_init,
+            batch_transform=first_hooks.batch_transform,
+            aux_forward=first_hooks.aux_forward,
             use_fused_dat=args.use_fused_dat,
+            optimizer_overrides=opt_overrides,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
         )
         if args.do_single:

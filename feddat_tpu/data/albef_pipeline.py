@@ -54,8 +54,13 @@ class AlbefVQAPipeline:
         num_workers: int = 8,
         max_ques_words_train: int = 30,
         max_ques_words_eval: int = 50,
+        eval_examples: Optional[Sequence[VQAExample]] = None,
     ):
         self.examples = list(examples)
+        # separate eval split (reference builds distinct loaders); falls back
+        # to the train examples when absent (tests/dev)
+        self.eval_examples = list(eval_examples) if eval_examples is not None else self.examples
+        self.task_key = None
         self.backend = backend
         self.tokenizer = tokenizer
         self.answer_list = list(answer_list)
@@ -79,7 +84,7 @@ class AlbefVQAPipeline:
 
     @property
     def num_eval_examples(self) -> int:
-        return len(self.examples)
+        return len(self.eval_examples)
 
     @property
     def steps_per_epoch(self) -> int:
@@ -132,12 +137,12 @@ class AlbefVQAPipeline:
             }
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        n, bs = len(self.examples), self.batch_size
+        n, bs = len(self.eval_examples), self.batch_size
         for s in range(0, n, bs):
-            chunk = self.examples[s : s + bs]
+            chunk = self.eval_examples[s : s + bs]
             pad = bs - len(chunk)
             valid = np.concatenate([np.ones(len(chunk)), np.zeros(pad)]).astype(np.float32)
-            chunk = chunk + [self.examples[0]] * pad
+            chunk = chunk + [self.eval_examples[0]] * pad
             q_ids, q_mask = self.tokenizer.batch_encode(
                 [pre_question(e.question, self.max_ques_words_eval) for e in chunk],
                 self.max_question_len,

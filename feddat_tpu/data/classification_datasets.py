@@ -180,13 +180,18 @@ def convert_to_low_shot_per_class(examples, num_labels: int, shots_per_class: in
 
 # -- pipelines ---------------------------------------------------------------
 class _BasePipeline:
-    def __init__(self, examples, tokenizer, max_text_len, canvas, batch_size, seed=0):
+    def __init__(self, examples, tokenizer, max_text_len, canvas, batch_size, seed=0,
+                 eval_examples=None):
         self.examples = list(examples)
+        # separate eval split (reference builds distinct loaders); falls back
+        # to the train examples when absent (tests/dev)
+        self.eval_examples = list(eval_examples) if eval_examples is not None else self.examples
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
         self.canvas = canvas
         self.batch_size = batch_size
         self.seed = seed
+        self.task_key = None
 
     @property
     def num_train_examples(self):
@@ -194,7 +199,7 @@ class _BasePipeline:
 
     @property
     def num_eval_examples(self):
-        return len(self.examples)
+        return len(self.eval_examples)
 
     @property
     def steps_per_epoch(self):
@@ -218,12 +223,12 @@ class _BasePipeline:
             yield self._make(chunk)
 
     def eval_batches(self):
-        n, bs = len(self.examples), self.batch_size
+        n, bs = len(self.eval_examples), self.batch_size
         for s in range(0, n, bs):
-            chunk = self.examples[s : s + bs]
+            chunk = self.eval_examples[s : s + bs]
             pad = bs - len(chunk)
             valid = np.concatenate([np.ones(len(chunk)), np.zeros(pad)]).astype(np.float32)
-            chunk = chunk + [self.examples[0]] * pad
+            chunk = chunk + [self.eval_examples[0]] * pad
             batch = self._make(chunk)
             batch["valid"] = valid
             yield batch
@@ -253,8 +258,10 @@ class Nlvr2Pipeline(_BasePipeline):
 
 
 class SnliVePipeline(_BasePipeline):
-    def __init__(self, examples, backend, tokenizer, max_text_len, canvas, batch_size, seed=0):
-        super().__init__(examples, tokenizer, max_text_len, canvas, batch_size, seed)
+    def __init__(self, examples, backend, tokenizer, max_text_len, canvas, batch_size,
+                 seed=0, eval_examples=None):
+        super().__init__(examples, tokenizer, max_text_len, canvas, batch_size, seed,
+                         eval_examples=eval_examples)
         self.backend = backend
 
     def _make(self, chunk) -> Dict[str, np.ndarray]:
@@ -273,8 +280,10 @@ class VcrPipeline(_BasePipeline):
     """Choices -> input_ids [B, C, L] for the multi-choice forward
     (``vilt.py:312-353``)."""
 
-    def __init__(self, examples, tokenizer, max_text_len, canvas, batch_size, num_choices=4, seed=0, image_root="."):
-        super().__init__(examples, tokenizer, max_text_len, canvas, batch_size, seed)
+    def __init__(self, examples, tokenizer, max_text_len, canvas, batch_size, num_choices=4,
+                 seed=0, image_root=".", eval_examples=None):
+        super().__init__(examples, tokenizer, max_text_len, canvas, batch_size, seed,
+                         eval_examples=eval_examples)
         self.num_choices = num_choices
         self.image_root = image_root
 

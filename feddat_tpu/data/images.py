@@ -220,4 +220,8 @@ def make_backend(images_source: str, task_key: str, data_root: str = "./data") -
         return CocoIdBackend(os.path.join(data_root, "mscoco"))
     if images_source == "flickr30k":
         return Flickr30kBackend(os.path.join(data_root, "flickr30k", "images"))
+    if images_source == "vcr":
+        # VCR drawn-image paths are relative to the task dir
+        # (reference ``vcr_dataset.py``: ``drawn_images/{split}/{type}/...``)
+        return VizwizBackend(os.path.join(data_root, "vcr"))
     raise KeyError(f"unknown images_source {images_source!r}")

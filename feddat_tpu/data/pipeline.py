@@ -41,8 +41,13 @@ class ViltVQAPipeline:
         batch_size: int = 32,
         seed: int = 0,
         num_workers: int = 8,
+        eval_examples: Optional[Sequence[VQAExample]] = None,
     ):
         self.examples = list(examples)
+        # evaluation runs on its own split (the reference builds separate
+        # train/val/test loaders, ``train_vqa_crossvqa.py:166-230``); when no
+        # eval split is given, fall back to the train examples (tests/dev)
+        self.eval_examples = list(eval_examples) if eval_examples is not None else self.examples
         self.backend = backend
         self.tokenizer = tokenizer
         self.num_labels = num_labels
@@ -60,7 +65,7 @@ class ViltVQAPipeline:
 
     @property
     def num_eval_examples(self) -> int:
-        return len(self.examples)
+        return len(self.eval_examples)
 
     @property
     def steps_per_epoch(self) -> int:
@@ -116,12 +121,12 @@ class ViltVQAPipeline:
             yield self._make_batch([self.examples[i] for i in sel])
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        n, bs = len(self.examples), self.batch_size
+        n, bs = len(self.eval_examples), self.batch_size
         for s in range(0, n, bs):
-            chunk = self.examples[s : s + bs]
+            chunk = self.eval_examples[s : s + bs]
             pad = bs - len(chunk)
             valid = np.concatenate([np.ones(len(chunk)), np.zeros(pad)]).astype(np.float32)
-            chunk = chunk + [self.examples[0]] * pad
+            chunk = chunk + [self.eval_examples[0]] * pad
             yield self._make_batch(chunk, valid)
 
 

@@ -61,6 +61,7 @@ class ClientRuntime:
     partitioner: Partitioner
     train_step: Callable
     eval_step: Callable
+    opt_cfg: OptimizerConfig = None  # per-task hyperparameters (see below)
 
 
 class FederatedTrainer:
@@ -81,6 +82,7 @@ class FederatedTrainer:
         batch_transform: Optional[Callable] = None,
         aux_forward: bool = False,
         use_fused_dat: bool = False,
+        optimizer_overrides: Optional[Dict[str, OptimizerConfig]] = None,
     ):
         """``make_forward(model, task_key) -> forward`` and
         ``make_eval(model, task_key) -> eval_step`` customize the model
@@ -108,22 +110,29 @@ class FederatedTrainer:
         self.clients: List[ClientRuntime] = []
         for task_key, data in clients.items():
             forward = make_forward(model, task_key)
-            part = Partitioner(params, task_key, self.mode)
+            part = Partitioner(params, task_key, self.mode,
+                               layers_to_freeze=config.layers_to_freeze)
             max_steps = data.steps_per_epoch * config.num_epochs
+            # Per-task hyperparameters: the reference's non-federated trainers
+            # take lr/wd/eps/warmup from the task config
+            # (``task_configs_fed.py:48-51``, ``train_nlvr2.py:88-97``), while
+            # the federated cross-VQA path uses the CLI ``--lr``
+            # (``train_vqa_crossvqa.py:234``).
+            opt_cfg = (optimizer_overrides or {}).get(task_key, config.optimizer)
             if self.mode == PEFTMode.DAT:
                 # no buffer donation here: the sequential engine's personal store and
                 # server tree intentionally alias client-param leaves (the SPMD
                 # engine is the donation-optimized path)
                 if use_fused_dat:
                     step = self._build_fused_dat_step(
-                        model, params, task_key, part, config.optimizer, max_steps
+                        model, params, task_key, part, opt_cfg, max_steps
                     )
                 else:
-                    step = make_dat_train_step(forward, part, config.optimizer, max_steps, donate=False)
+                    step = make_dat_train_step(forward, part, opt_cfg, max_steps, donate=False)
             else:
                 adapter_mode = "adapter" if self.mode == PEFTMode.ADAPTER else "none"
                 step = make_plain_train_step(
-                    forward, part, config.optimizer, max_steps, adapter_mode,
+                    forward, part, opt_cfg, max_steps, adapter_mode,
                     donate=False, aux_forward=aux_forward,
                 )
             self.clients.append(
@@ -138,6 +147,7 @@ class FederatedTrainer:
                         if make_eval is not None
                         else make_eval_step(model, task_key, metric)
                     ),
+                    opt_cfg=opt_cfg,
                 )
             )
 
@@ -153,6 +163,17 @@ class FederatedTrainer:
         self.metrics = metrics_logger
         self.aux_init = aux_init
         self.batch_transform = batch_transform
+
+        # startup observability: parameter budget (reference main.py:371-374)
+        from feddat_tpu.peft.partition import param_budget
+
+        self.param_budget = param_budget(params, self.mode)
+        b = self.param_budget
+        logger.info(
+            "params: total=%d trainable=%d (%.3f%%) communicated=%d personal=%d",
+            b["total"], b["trainable"], b["trainable_pct"],
+            b["communicated"], b["personal"],
+        )
 
     @staticmethod
     def _build_fused_dat_step(model, params, task_key, part, opt_cfg, max_steps):
@@ -217,7 +238,7 @@ class FederatedTrainer:
         """One client's local training; returns its full post-training params."""
         params = self._client_params(client)
         self.rng, client_rng = jax.random.split(self.rng)
-        state = init_train_state(params, client.partitioner, self.config.optimizer, client_rng)
+        state = init_train_state(params, client.partitioner, client.opt_cfg, client_rng)
         if self.aux_init is not None:
             state = state.replace(aux=self.aux_init(params))
         steps = 0

@@ -62,9 +62,13 @@ class SPMDFederatedTrainer:
         mesh: Mesh,
         make_forward: Optional[Callable] = None,
         use_fused: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        metrics_logger=None,
     ):
         """``use_fused`` selects the single-ensemble-pass fused DAT core
         (exact when encoder dropout is off; +14% measured on ViLT)."""
+        self.checkpoint_dir = checkpoint_dir
+        self.metrics = metrics_logger
         if config.peft_mode != PEFTMode.DAT:
             raise NotImplementedError("SPMD engine currently implements the DAT mode")
         self.model = model
@@ -266,6 +270,19 @@ class SPMDFederatedTrainer:
         self.rng = jax.random.PRNGKey(config.seed)
         self.history: List[Dict[str, Any]] = []
 
+        # startup observability: parameter budget (reference main.py:371-374)
+        from feddat_tpu.peft.partition import param_budget
+        import logging
+
+        self.param_budget = param_budget(params, config.peft_mode)
+        b = self.param_budget
+        logging.getLogger("feddat_tpu").info(
+            "params: total=%d trainable=%d (%.3f%%) communicated=%d personal=%d"
+            " (x%d clients stacked)",
+            b["total"], b["trainable"], b["trainable_pct"],
+            b["communicated"], b["personal"], C,
+        )
+
     @staticmethod
     def _default_vilt_forward(model, task_key):
         from feddat_tpu.train.losses import bce_with_logits_vqa
@@ -316,14 +333,25 @@ class SPMDFederatedTrainer:
 
     # -- rounds ------------------------------------------------------------
     def run_round(self, round_idx: int) -> Dict[str, float]:
+        import time
+
+        t0 = time.time()
         self.client_state = self._teacher_refresh(self.client_state)
         opt, counts, rngs = self._fresh_opt_and_clocks()
         last_metrics = None
+        batch_total = self.num_clients * self.config.batch_size
         for batch in self._stacked_train_batches(round_idx):
             self.client_state, opt, counts, rngs, last_metrics = self._spmd_step(
                 self.backbone, self.client_state, opt, counts, rngs, batch
             )
+            if self.metrics is not None:
+                # lazy client-mean scalars; only float()'d every log_every steps
+                self.metrics.step(
+                    {k: jnp.mean(v) for k, v in last_metrics.items()},
+                    batch_total, "spmd",
+                )
         self.client_state = self._fedavg(self.client_state)
+        self._last_round_wall_s = time.time() - t0
         if last_metrics is None:
             return {}
         return {k: np.asarray(v).mean() for k, v in last_metrics.items()}
@@ -369,12 +397,46 @@ class SPMDFederatedTrainer:
         }
         entry = {"round": round_idx, "scores": scores}
         self.history.append(entry)
+        if self.metrics is not None:
+            self.metrics.round(round_idx, scores, getattr(self, "_last_round_wall_s", 0.0))
         return entry
 
-    def run(self) -> List[Dict[str, Any]]:
+    # -- checkpoint / resume -------------------------------------------------
+    # The stacked client bank plays the role of the sequential engine's
+    # personal store; the replicated backbone that of the server params.
+    def save_checkpoint(self, round_idx: int) -> Optional[str]:
+        if not self.checkpoint_dir:
+            return None
+        from feddat_tpu.utils.checkpointing import save_federated_state
+
+        return save_federated_state(
+            self.checkpoint_dir, round_idx, self.backbone,
+            {"stacked_clients": jax.device_get(self.client_state)}, self.rng,
+        )
+
+    def try_resume(self) -> int:
+        if not self.checkpoint_dir:
+            return 0
+        from feddat_tpu.utils.checkpointing import restore_federated_state
+
+        restored = restore_federated_state(self.checkpoint_dir)
+        if restored is None:
+            return 0
+        rnd, backbone, personal, rng = restored
+        self.backbone = backbone
+        self.client_state = jax.tree_util.tree_map(
+            jnp.asarray, personal["stacked_clients"]
+        )
+        self.rng = rng
+        return rnd + 1
+
+    def run(self, resume: bool = True) -> List[Dict[str, Any]]:
         rounds = self.config.federated.comm_rounds
-        for r in range(rounds):
+        start = self.try_resume() if resume else 0
+        for r in range(start, rounds):
             self.run_round(r)
+            if self.checkpoint_dir:
+                self.save_checkpoint(r)
             if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
                 self.evaluate_round(r)
         return self.history

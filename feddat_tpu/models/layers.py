@@ -169,6 +169,13 @@ class PreLNLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     logits_dtype: jnp.dtype = jnp.float32
+    # Recompute ONLY the attention block (projections + softmax(QK^T)V) in
+    # the backward instead of the whole layer.  With a frozen backbone (the
+    # PEFT regime) the [B,H,S,S] probabilities are the dominant saved
+    # activation; dropping just them costs a fraction of full-layer remat's
+    # recompute (one fwd-equivalent per backward) while fitting large
+    # batches in HBM.
+    remat_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -178,7 +185,7 @@ class PreLNLayer(nn.Module):
         adapter_mode: str = "none",
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        attn_out = MultiHeadAttention(
+        attn = MultiHeadAttention(
             self.hidden_size,
             self.num_heads,
             dropout_rate=self.attention_dropout,
@@ -187,11 +194,16 @@ class PreLNLayer(nn.Module):
             attn_impl=self.attn_impl,
             logits_dtype=self.logits_dtype,
             name="attention",
-        )(
-            nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_before")(x),
-            bias=bias,
-            deterministic=deterministic,
         )
+        attn_in = nn.LayerNorm(
+            epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_before"
+        )(x)
+        if self.remat_attention:
+            attn_out = nn.remat(
+                lambda mdl, h, b: mdl(h, bias=b, deterministic=deterministic)
+            )(attn, attn_in, bias)
+        else:
+            attn_out = attn(attn_in, bias=bias, deterministic=deterministic)
         attn_out = nn.Dropout(self.dropout_rate)(attn_out, deterministic=deterministic)
         h = x + attn_out
 

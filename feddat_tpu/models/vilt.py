@@ -228,6 +228,7 @@ class ViltEncoder(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             logits_dtype=jnp.dtype(c.attention_logits_dtype),
+            remat_attention=(c.remat and c.remat_policy == "attention"),
         )
 
         class _LayerBody(nn.Module):
@@ -236,7 +237,7 @@ class ViltEncoder(nn.Module):
             @nn.compact
             def __call__(self, carry, layer_bias):
                 layer = PreLNLayer(**layer_kwargs, name="layer")
-                if c.remat:
+                if c.remat and c.remat_policy != "attention":
                     import jax as _jax
 
                     policy = (

@@ -44,3 +44,93 @@ def make_mesh(
         raise ValueError(f"need {need} devices, have {n}")
     grid = np.asarray(devices[:need]).reshape(num_clients, data_parallel)
     return Mesh(grid, (CLIENT_AXIS, DATA_AXIS))
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host runtime init — the TPU-native replacement for the
+    reference's ``accelerate launch`` process-group setup
+    (``accelerate_config.yaml:1-11``, SURVEY.md §5.8).
+
+    With no arguments, ``jax.distributed.initialize()`` auto-detects the
+    cluster from the TPU pod/GKE/SLURM environment; explicit
+    coordinator/process arguments cover bare-metal launches.  Returns the
+    process count.  Idempotent: safe to call when already initialized or on
+    a single host.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # already initialized, or a single-process environment with no
+        # cluster autodetection — both fine
+        pass
+    return jax.process_count()
+
+
+def arrange_multihost_grid(
+    devices: Sequence,
+    process_of,
+    num_clients: int,
+    data_parallel: Optional[int] = None,
+):
+    """Order devices into a (client, data) grid that keeps each client's
+    data-parallel group on as few processes as possible, so the per-client
+    gradient ``pmean`` rides ICI within a slice and only FedAvg's single
+    reduction crosses DCN (the scaling-book recipe: collectives on the
+    fastest fabric they fit).
+
+    ``process_of(device) -> process index``.  Returns a [C, dp] numpy object
+    grid (pure layout logic — testable without real multi-host hardware).
+    """
+    devices = list(devices)
+    n = len(devices)
+    if data_parallel is None:
+        if n % num_clients != 0:
+            raise ValueError(f"{n} devices not divisible by {num_clients} clients")
+        data_parallel = n // num_clients
+    need = num_clients * data_parallel
+    if need > n:
+        raise ValueError(f"need {need} devices, have {n}")
+    # group devices by process, concatenate process blocks in order: slicing
+    # [C, dp] row-major then assigns each client a contiguous run of devices
+    # from as few processes as possible.
+    by_proc: dict = {}
+    for d in devices:
+        by_proc.setdefault(process_of(d), []).append(d)
+    ordered = [d for p in sorted(by_proc) for d in by_proc[p]]
+    grid = np.empty((num_clients, data_parallel), dtype=object)
+    for i, d in enumerate(ordered[:need]):
+        grid[i // data_parallel, i % data_parallel] = d
+    return grid
+
+
+def make_multihost_mesh(
+    num_clients: int,
+    data_parallel: Optional[int] = None,
+) -> Mesh:
+    """Global (client, data) mesh over every device of every process, with
+    clients mapped to DCN-adjacent process blocks (see
+    :func:`arrange_multihost_grid`).  Call :func:`initialize_multihost`
+    first."""
+    grid = arrange_multihost_grid(
+        jax.devices(), lambda d: d.process_index, num_clients, data_parallel
+    )
+    return Mesh(grid, (CLIENT_AXIS, DATA_AXIS))
+
+
+def clients_for_process(grid, process_of, process_index: int):
+    """Which client rows of a (client, data) grid have at least one device
+    on this process — the process-count-aware data split: each host only
+    loads/feeds the clients it physically hosts."""
+    rows = []
+    for c in range(grid.shape[0]):
+        if any(process_of(d) == process_index for d in grid[c]):
+            rows.append(c)
+    return rows

@@ -212,3 +212,22 @@ def zeros_mask_like(params: Params, labels: Params, roles: FrozenSet[str]) -> Pa
 
 def count_params(params: Params) -> int:
     return sum(int(jnp.size(x)) for x in jax.tree_util.tree_leaves(params))
+
+
+def param_budget(params: Params, mode: PEFTMode) -> Dict[str, Any]:
+    """Startup trainable-parameter report (reference prints counts/% at
+    ``src/train/main.py:371-374``): total / trainable / communicated /
+    personal counts and trainable %."""
+    labels = label_params(params)
+    total = count_params(params)
+    trainable, _ = split_by_roles(params, labels, trainable_roles(mode))
+    communicated, _ = split_by_roles(params, labels, comm_roles(mode))
+    personal, _ = split_by_roles(params, labels, personal_roles(mode))
+    n_train = count_params(trainable)
+    return {
+        "total": total,
+        "trainable": n_train,
+        "communicated": count_params(communicated),
+        "personal": count_params(personal),
+        "trainable_pct": 100.0 * n_train / max(total, 1),
+    }

@@ -95,6 +95,275 @@ def test_cli_smoke_end_to_end(fake_task):
     assert len(history[-1]["scores"]["testtask"]) == 3  # DAT 3-mode eval
 
 
+def test_cli_spmd_engine_smoke(fake_task):
+    """--engine spmd from the CLI (the flagship TPU path): model built with
+    the shared task_fed head, 2 clients over a (2, 2) mesh slice of the 8
+    virtual CPU devices."""
+    data_root, vocab_file, tmp_path = fake_task
+    # second client reusing the same on-disk data
+    key2 = "testtask2"
+    spec = TASK_CONFIGS["testtask"]
+    TASK_CONFIGS[key2] = TaskSpec(
+        task_key=key2, task_name=key2, data_dir=spec.data_dir,
+        images_source="vizwiz", splits=("train_small", "val"), num_labels=100,
+    )
+    from feddat_tpu.cli import main
+
+    out_dir = tmp_path / "logs_spmd"
+    rc = main(
+        [
+            "--encoder_name", "vilt",
+            "--optimizer_mode", "dat",
+            "--engine", "spmd",
+            "--mesh_data", "2",
+            "--ordered_cl_tasks", "testtask,testtask2",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--smoke",
+        ]
+    )
+    assert rc == 0
+    histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
+    history = json.load(open(out_dir / histories[0]))
+    assert history and set(history[-1]["scores"]) == {"testtask", "testtask2"}
+    assert len(history[-1]["scores"]["testtask"]) == 3  # DAT 3-mode eval
+
+
+@pytest.fixture
+def fake_nlvr2(tmp_path):
+    """On-disk NLVR2 fixture: jsonl annotations + image pairs."""
+    data_root = tmp_path / "data"
+    task_dir = data_root / "nlvr2"
+    (task_dir / "data").mkdir(parents=True)
+    img_dir = task_dir / "images" / "train"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(8):
+        base = f"train-{i}-0"
+        for j in (0, 1):
+            Image.fromarray(rng.randint(0, 255, (48, 56, 3), dtype=np.uint8)).save(
+                img_dir / f"{base}-img{j}.png"
+            )
+        lines.append(
+            json.dumps(
+                {
+                    "identifier": base + "-x",
+                    "sentence": f"the images {i} match",
+                    "label": "True" if i % 2 else "False",
+                }
+            )
+        )
+    (task_dir / "data" / "train.json").write_text("\n".join(lines))
+    # val split: reuse the same images via dev annotations
+    dev_img = task_dir / "images" / "dev"
+    dev_img.mkdir(parents=True)
+    for i in range(4):
+        base = f"dev-{i}-0"
+        for j in (0, 1):
+            Image.fromarray(rng.randint(0, 255, (48, 56, 3), dtype=np.uint8)).save(
+                dev_img / f"{base}-img{j}.png"
+            )
+    dev_lines = [
+        json.dumps(
+            {
+                "identifier": f"dev-{i}-0-x",
+                "sentence": f"the images {i} differ",
+                "label": "False" if i % 2 else "True",
+            }
+        )
+        for i in range(4)
+    ]
+    (task_dir / "data" / "dev.json").write_text("\n".join(dev_lines))
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "images", "match",
+             "differ"] + [str(i) for i in range(10)]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab))
+    return data_root, vocab_file, tmp_path
+
+
+def test_cli_nlvr2_smoke_end_to_end(fake_nlvr2):
+    """The non-VQA task families are reachable from the CLI
+    (reference ``main.py:482-483`` dynamic trainer dispatch)."""
+    data_root, vocab_file, tmp_path = fake_nlvr2
+    from feddat_tpu.cli import main
+
+    out_dir = tmp_path / "logs_nlvr2"
+    rc = main(
+        [
+            "--encoder_name", "vilt",
+            "--optimizer_mode", "adapter",
+            "--ordered_cl_tasks", "nlvr2",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--do_single",
+            "--smoke",
+        ]
+    )
+    assert rc == 0
+    histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
+    history = json.load(open(out_dir / histories[0]))
+    assert history and "nlvr2" in history[-1]["scores"]
+
+
+def _write_vocab(tmp_path, extra=()):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "a", "is",
+             "what", "man", "dog", "gray", "person"] + list(extra) + [
+        str(i) for i in range(10)
+    ]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(dict.fromkeys(vocab)))
+    return vocab_file
+
+
+def _run_single_task_cli(task_key, data_root, vocab_file, out_dir, mode="adapter",
+                         batch_size=4):
+    from feddat_tpu.cli import main
+
+    return main(
+        [
+            "--encoder_name", "vilt",
+            "--optimizer_mode", mode,
+            "--ordered_cl_tasks", task_key,
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", str(batch_size),
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--do_single",
+            "--smoke",
+        ]
+    )
+
+
+def _assert_history(out_dir, task_key):
+    histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
+    history = json.load(open(out_dir / histories[0]))
+    assert history and task_key in history[-1]["scores"]
+
+
+def test_cli_snli_ve_smoke_end_to_end(tmp_path):
+    data_root = tmp_path / "data"
+    task_dir = data_root / "snli-ve"
+    task_dir.mkdir(parents=True)
+    img_dir = data_root / "flickr30k" / "images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    cats = ["entailment", "contradiction", "neutral"]
+    for split, n in (("train", 9), ("dev", 3)):
+        lines = []
+        for i in range(n):
+            Image.fromarray(rng.randint(0, 255, (48, 56, 3), dtype=np.uint8)).save(
+                img_dir / f"{1000 + i}.jpg"
+            )
+            lines.append(
+                json.dumps(
+                    {
+                        "Flickr30K_ID": str(1000 + i),
+                        "sentence2": f"a man is {i}",
+                        "gold_label": cats[i % 3],
+                    }
+                )
+            )
+        (task_dir / f"snli_ve_{split}.jsonl").write_text("\n".join(lines))
+    vocab_file = _write_vocab(tmp_path)
+    out_dir = tmp_path / "logs"
+    assert _run_single_task_cli("snli-ve", data_root, vocab_file, out_dir) == 0
+    _assert_history(out_dir, "snli-ve")
+
+
+def test_cli_vcr_smoke_end_to_end(tmp_path):
+    data_root = tmp_path / "data"
+    task_dir = data_root / "vcr"
+    (task_dir / "annotation").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for split in ("train", "val"):
+        img_dir = task_dir / "drawn_images" / split / "qa"
+        img_dir.mkdir(parents=True)
+        lines = []
+        # 5% low-shot (reference train_vcr.py:94-95) must leave >= 1 example
+        for i in range(20 if split == "val" else 40):
+            annot_id = f"{split}-{i}"
+            Image.fromarray(rng.randint(0, 255, (48, 56, 3), dtype=np.uint8)).save(
+                img_dir / f"{annot_id}.jpg"
+            )
+            lines.append(
+                json.dumps(
+                    {
+                        "annot_id": annot_id,
+                        "objects": ["person", "dog"],
+                        "question": ["what", "is", [0], "doing"],
+                        "answer_choices": [["the", "dog", [1]], ["a"], ["is"], ["what"]],
+                        "answer_label": i % 4,
+                        "rationale_choices": [["a"], ["is"], ["the"], ["dog"]],
+                        "rationale_label": 0,
+                    }
+                )
+            )
+        (task_dir / "annotation" / f"{split}.jsonl").write_text("\n".join(lines))
+    vocab_file = _write_vocab(tmp_path, extra=["doing", "casey", "riley"])
+    out_dir = tmp_path / "logs"
+    assert _run_single_task_cli("vcr", data_root, vocab_file, out_dir, batch_size=1) == 0
+    _assert_history(out_dir, "vcr")
+
+
+def test_cli_vqav2_smoke_end_to_end(tmp_path):
+    data_root = tmp_path / "data"
+    task_dir = data_root / "vqav2"
+    task_dir.mkdir(parents=True)
+    coco = data_root / "mscoco"
+    rng = np.random.RandomState(0)
+    ans2label = {"yes": 0, "no": 1, "red": 2}
+    with open(task_dir / "ans2label.pkl", "wb") as f:
+        pickle.dump(ans2label, f)
+    # 5% low-shot (reference train_vqa.py:70-71) must leave >= 1 example
+    for split, n in (("train", 40), ("val", 20)):
+        d = coco / f"{split}2014"
+        d.mkdir(parents=True)
+        questions, annotations = [], []
+        for i in range(n):
+            img_id = i + (0 if split == "train" else 100)
+            Image.fromarray(rng.randint(0, 255, (48, 56, 3), dtype=np.uint8)).save(
+                d / f"COCO_{split}2014_{img_id:012d}.jpg"
+            )
+            questions.append(
+                {"question_id": img_id, "question": f"is the {i} red"}
+            )
+            annotations.append(
+                {
+                    "question_id": img_id,
+                    "image_id": img_id,
+                    "answers": [{"answer": "yes"}] * 7 + [{"answer": "no"}] * 3,
+                }
+            )
+        with open(task_dir / f"v2_OpenEnded_mscoco_{split}2014_questions.json", "w") as f:
+            json.dump({"questions": questions}, f)
+        with open(task_dir / f"v2_mscoco_{split}2014_annotations.json", "w") as f:
+            json.dump({"annotations": annotations}, f)
+    vocab_file = _write_vocab(tmp_path, extra=["red", "yes", "no"])
+    out_dir = tmp_path / "logs"
+    assert _run_single_task_cli("vqa", data_root, vocab_file, out_dir, batch_size=1) == 0
+    _assert_history(out_dir, "vqa")
+
+
 def test_cli_albef_smoke_end_to_end(fake_task):
     data_root, vocab_file, tmp_path = fake_task
     # the ALBEF path additionally needs the task's ans2label pickle

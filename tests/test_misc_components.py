@@ -110,3 +110,23 @@ def test_seed_everything():
     b = np.random.rand(3)
     np.testing.assert_array_equal(a, b)
     assert eff == 42  # single process
+
+
+def test_param_budget_report():
+    """Startup observability (reference prints counts/% at main.py:371-374)."""
+    from feddat_tpu.peft.partition import count_params, param_budget
+
+    cfg = dataclasses.replace(
+        TINY_VILT,
+        adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
+    )
+    model = ViltContinualLearner(cfg, {"coco": TaskHeadSpec(num_labels=16)})
+    batch = tiny_batch(np.random.RandomState(0), cfg=cfg)
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    b = param_budget(params, PEFTMode.DAT)
+    assert b["total"] == count_params(params)
+    # DAT: trainable = adapter_0 + adapter_1 + heads; communicated = adapter_1
+    assert 0 < b["communicated"] < b["trainable"] < b["total"]
+    # personal = heads + adapter_0 + adapter_2
+    assert b["personal"] > b["communicated"]
+    assert abs(b["trainable_pct"] - 100.0 * b["trainable"] / b["total"]) < 1e-9
