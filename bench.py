@@ -273,7 +273,8 @@ def main():
     # -- ViLT (flagship metric, LAST line) ----------------------------------
     tuned_bs = 64 if on_tpu else 8
     tuned = _measure(tuned_bs, "bfloat16")
-    baseline = _measure(2, "float32", warmup=2, iters=10)
+    # 30 iters: the B=2 denominator is latency-dominated and noisy at 10
+    baseline = _measure(2, "float32", warmup=3, iters=30)
     print(
         json.dumps(
             {

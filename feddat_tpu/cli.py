@@ -403,10 +403,21 @@ def main(argv=None) -> int:
                 num_clients=args.mesh_clients or len(task_keys),
                 data_parallel=args.mesh_data,
             )
+        is_albef = args.encoder_name.startswith("albef")
+        if args.encoder_name == "albef_distill":
+            raise NotImplementedError(
+                "--engine spmd supports albef_no_distill; momentum-distillation "
+                "aux state is sequential-engine only (as is the reference's live "
+                "DAT path, train_albef.sh)"
+            )
+        kinds = {TASK_CONFIGS[k].trainer for k in task_keys}
         trainer = SPMDFederatedTrainer(
             model, params, list(clients.values()), config, mesh,
             use_fused=args.use_fused_dat,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
+            family="albef" if is_albef else "vilt",
+            answer_banks=answer_banks if is_albef else None,
+            metric="accuracy" if kinds & {"nlvr2", "snli_ve", "vcr"} else "vqa_score",
         )
         history = trainer.run()
     else:

@@ -40,7 +40,12 @@ from feddat_tpu.configs.core import OptimizerConfig, PEFTMode, TrainConfig
 from feddat_tpu.models.adapters import MODE_ENSEMBLE
 from feddat_tpu.parallel.mesh import CLIENT_AXIS, DATA_AXIS
 from feddat_tpu.peft.partition import label_params
-from feddat_tpu.train.dat import Partitioner, dat_step_core, init_train_state
+from feddat_tpu.train.dat import (
+    Partitioner,
+    dat_step_core,
+    init_train_state,
+    plain_step_core,
+)
 from feddat_tpu.train.state import TrainState
 
 FED_HEAD_KEY = "fed"  # all SPMD clients share the head module task_{FED_HEAD_KEY}
@@ -64,13 +69,24 @@ class SPMDFederatedTrainer:
         use_fused: bool = False,
         checkpoint_dir: Optional[str] = None,
         metrics_logger=None,
+        family: str = "vilt",
+        answer_banks: Optional[Dict[str, Any]] = None,
+        rank_k: int = 64,
+        metric: str = "vqa_score",
+        pad_token_id: int = 0,
     ):
         """``use_fused`` selects the single-ensemble-pass fused DAT core
-        (exact when encoder dropout is off; +14% measured on ViLT)."""
+        (exact when encoder dropout is off; +14% measured on ViLT).
+
+        ``family``: ``"vilt"`` (classification head + VQA-score/accuracy
+        eval) or ``"albef"`` (LM loss + rank-answer eval over per-client
+        ``answer_banks[task_key] = (ids, mask)``, stacked and sharded over
+        the client axis).  All PEFT modes run: DAT uses the 3-stage core,
+        the rest the single-update core, each with ``pmean`` DP grad sync.
+        """
         self.checkpoint_dir = checkpoint_dir
         self.metrics = metrics_logger
-        if config.peft_mode != PEFTMode.DAT:
-            raise NotImplementedError("SPMD engine currently implements the DAT mode")
+        self.family = family
         self.model = model
         self.config = config
         self.mesh = mesh
@@ -81,10 +97,18 @@ class SPMDFederatedTrainer:
         self.num_clients = C
 
         if make_forward is None:
-            make_forward = self._default_vilt_forward
+            if family == "albef":
+                from feddat_tpu.train.forwards import make_albef_forward
+
+                make_forward = lambda m, k: make_albef_forward(m, pad_token_id)
+            else:
+                make_forward = self._default_vilt_forward
         forward = make_forward(model, FED_HEAD_KEY)
 
-        self.partitioner = Partitioner(params, FED_HEAD_KEY, config.peft_mode)
+        self.partitioner = Partitioner(
+            params, FED_HEAD_KEY, config.peft_mode,
+            layers_to_freeze=config.layers_to_freeze,
+        )
         P_ = self.partitioner
         from flax import traverse_util
 
@@ -109,7 +133,13 @@ class SPMDFederatedTrainer:
         self.steps_per_round = steps_per_epoch * config.federated.local_epochs
         max_steps = min(c.steps_per_epoch for c in self.clients) * config.num_epochs
 
-        if use_fused:
+        if config.peft_mode != PEFTMode.DAT:
+            adapter_mode = "adapter" if config.peft_mode == PEFTMode.ADAPTER else "none"
+            core = plain_step_core(
+                forward, self.partitioner, config.optimizer, max_steps,
+                adapter_mode, data_axis=DATA_AXIS,
+            )
+        elif use_fused:
             from feddat_tpu.peft.partition import merge as _merge
             from feddat_tpu.train.dat import dat_step_core_fused
             from feddat_tpu.train.losses import bce_with_logits_vqa
@@ -119,20 +149,38 @@ class SPMDFederatedTrainer:
                 {p: v for p, v in flat_all.items() if p not in self.partitioner.head_paths}
             )
 
-            def encode(p, b, mode, rng):
-                return model.apply(
-                    {"params": p}, FED_HEAD_KEY, b, adapter_mode=mode,
-                    deterministic=True, method=type(model).encode_single_image,
-                )
+            if family == "albef":
+                from feddat_tpu.models.albef import AlbefModel
+                from feddat_tpu.train.trainers import albef_fused_task_loss
 
-            def head_fn(h, pooled):
-                return model.apply(
-                    {"params": _merge(h, head_frozen_rest)}, FED_HEAD_KEY, pooled,
-                    method=type(model).apply_head,
-                )
+                def encode(p, b, mode, rng):
+                    return model.apply(
+                        {"params": p}, b, adapter_mode=mode, deterministic=True,
+                        method=AlbefModel.encode_train,
+                    )
 
-            def task_loss(logits, b):
-                return bce_with_logits_vqa(logits, b["target_scores"])
+                def head_fn(h, hidden):
+                    return model.apply(
+                        {"params": _merge(h, head_frozen_rest)}, hidden,
+                        method=AlbefModel.apply_cls,
+                    )
+
+                task_loss = albef_fused_task_loss(pad_token_id)
+            else:
+                def encode(p, b, mode, rng):
+                    return model.apply(
+                        {"params": p}, FED_HEAD_KEY, b, adapter_mode=mode,
+                        deterministic=True, method=type(model).encode_single_image,
+                    )
+
+                def head_fn(h, pooled):
+                    return model.apply(
+                        {"params": _merge(h, head_frozen_rest)}, FED_HEAD_KEY, pooled,
+                        method=type(model).apply_head,
+                    )
+
+                def task_loss(logits, b):
+                    return bce_with_logits_vqa(logits, b["target_scores"])
 
             core = dat_step_core_fused(
                 encode, head_fn, task_loss, self.partitioner, config.optimizer,
@@ -200,37 +248,93 @@ class SPMDFederatedTrainer:
             donate_argnums=(2, 3, 4),  # client_state kept undonated: fedavg/teacher-refresh outputs may alias
         )
 
-        # eval: per-slot masked score sum
-        def slot_eval(backbone, client_part, batch, mode):
-            client_part = jax.tree_util.tree_map(lambda x: x[0], client_part)
-            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
-            params = merge_full(backbone, client_part)
-            _, logits = model.apply(
-                {"params": params}, FED_HEAD_KEY, batch, adapter_mode=mode, deterministic=True
-            )
-            from feddat_tpu.data.vqa_scoring import compute_score_with_logits
+        # DAT reports [ensemble, local-only, shared-only] (task_trainer.py:229-244);
+        # single-adapter/plain modes evaluate their one mode.
+        if config.peft_mode == PEFTMode.DAT:
+            self._eval_modes = (MODE_ENSEMBLE, "adapter_0", "adapter_1")
+        elif config.peft_mode == PEFTMode.ADAPTER:
+            self._eval_modes = ("adapter",)
+        else:
+            self._eval_modes = ("none",)
 
-            per = compute_score_with_logits(logits, batch["target_scores"])
-            if "valid" in batch:
-                per = per * batch["valid"]
-            s = jnp.sum(per)
-            s = jax.lax.psum(s, DATA_AXIS)
-            return s[None]
-
-        def make_eval(mode):
-            return jax.jit(
-                shard_map(
-                    partial(slot_eval, mode=mode),
-                    mesh=self.mesh,
-                    in_specs=(P(), P(CLIENT_AXIS), P(CLIENT_AXIS, DATA_AXIS)),
-                    out_specs=P(CLIENT_AXIS),
-                    check_vma=False,
+        if family == "albef":
+            # per-client answer banks, stacked [C, N, La] and sharded over the
+            # client axis; rank-answer eval runs inside the shard_map
+            if answer_banks is None:
+                raise ValueError("family='albef' needs answer_banks[task_key]=(ids, mask)")
+            banks = [answer_banks[c.task_key] for c in self.clients]
+            shapes = {tuple(np.asarray(b[0]).shape) for b in banks}
+            if len(shapes) != 1:
+                raise ValueError(
+                    f"SPMD stacks answer banks; shapes must match, got {shapes}"
                 )
+            self._banks = (
+                jnp.stack([jnp.asarray(b[0]) for b in banks]),
+                jnp.stack([jnp.asarray(b[1]) for b in banks]),
             )
+            k = min(rank_k, int(self._banks[0].shape[1]))
+            from feddat_tpu.models.albef import AlbefModel
 
-        self._eval_steps = {
-            mode: make_eval(mode) for mode in (MODE_ENSEMBLE, "adapter_0", "adapter_1")
-        }
+            def slot_eval(backbone, client_part, bids, bmask, batch, mode):
+                client_part = jax.tree_util.tree_map(lambda x: x[0], client_part)
+                batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+                params = merge_full(backbone, client_part)
+                topk_ids, _ = model.apply(
+                    {"params": params}, batch, bids[0], bmask[0], k, mode,
+                    pad_token_id, method=AlbefModel.rank_answer,
+                )
+                pred = topk_ids[:, 0]
+                gt = batch["gt_labels"]
+                hit = jnp.any((pred[:, None] == gt) & (gt >= 0), axis=1).astype(jnp.float32)
+                if "valid" in batch:
+                    hit = hit * batch["valid"]
+                return jax.lax.psum(jnp.sum(hit), DATA_AXIS)[None]
+
+            def make_eval(mode):
+                return jax.jit(
+                    shard_map(
+                        partial(slot_eval, mode=mode),
+                        mesh=self.mesh,
+                        in_specs=(P(), P(CLIENT_AXIS), P(CLIENT_AXIS),
+                                  P(CLIENT_AXIS), P(CLIENT_AXIS, DATA_AXIS)),
+                        out_specs=P(CLIENT_AXIS),
+                        check_vma=False,
+                    )
+                )
+        else:
+            self._banks = None
+
+            def slot_eval(backbone, client_part, batch, mode):
+                client_part = jax.tree_util.tree_map(lambda x: x[0], client_part)
+                batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+                params = merge_full(backbone, client_part)
+                _, logits = model.apply(
+                    {"params": params}, FED_HEAD_KEY, batch, adapter_mode=mode, deterministic=True
+                )
+                from feddat_tpu.data.vqa_scoring import batch_accuracy, compute_score_with_logits
+
+                if metric == "accuracy":
+                    per = batch_accuracy(logits, batch["labels"])
+                else:
+                    per = compute_score_with_logits(logits, batch["target_scores"])
+                if "valid" in batch:
+                    per = per * batch["valid"]
+                s = jnp.sum(per)
+                s = jax.lax.psum(s, DATA_AXIS)
+                return s[None]
+
+            def make_eval(mode):
+                return jax.jit(
+                    shard_map(
+                        partial(slot_eval, mode=mode),
+                        mesh=self.mesh,
+                        in_specs=(P(), P(CLIENT_AXIS), P(CLIENT_AXIS, DATA_AXIS)),
+                        out_specs=P(CLIENT_AXIS),
+                        check_vma=False,
+                    )
+                )
+
+        self._eval_steps = {mode: make_eval(mode) for mode in self._eval_modes}
 
         # FedAvg over the stacked client axis: one XLA reduction.
         weights = config.federated.client_weights
@@ -387,11 +491,14 @@ class SPMDFederatedTrainer:
                 stacked = {
                     k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
                 }
-                totals[mode] += np.asarray(fn(self.backbone, self.client_state, stacked))
+                if self._banks is not None:
+                    out = fn(self.backbone, self.client_state, *self._banks, stacked)
+                else:
+                    out = fn(self.backbone, self.client_state, stacked)
+                totals[mode] += np.asarray(out)
         scores = {
             c.task_key: [
-                float(totals[m][i] / counts[i] * 100.0)
-                for m in (MODE_ENSEMBLE, "adapter_0", "adapter_1")
+                float(totals[m][i] / counts[i] * 100.0) for m in self._eval_modes
             ]
             for i, c in enumerate(self.clients)
         }

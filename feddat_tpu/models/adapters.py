@@ -34,6 +34,12 @@ from feddat_tpu.configs.core import AdapterSpec
 
 MODE_NONE = "none"
 MODE_ENSEMBLE = "ensemble"
+# Per-example adapter mixing: ``weights`` [B, len(names)] selects/blends the
+# named adapters per batch row.  Lets one forward pass serve examples in
+# DIFFERENT adapter modes (the joint DAT step runs its ensemble and
+# adapter_1 passes as one 2B batch; rows where a weight is 0 contribute
+# exactly-zero gradient to that adapter).
+MODE_WEIGHTED = "weighted"
 # Used only during ``model.init``: touches every named adapter so that the
 # parameter tree is identical for all modes (jit cache reuse + partitioning).
 MODE_INIT = "init_all"
@@ -74,12 +80,14 @@ class AdapterCell(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def delta(self, z: jnp.ndarray, mode: str) -> jnp.ndarray:
+    def delta(self, z: jnp.ndarray, mode: str, weights_bx: jnp.ndarray = None) -> jnp.ndarray:
         """The additive adapter update for hidden states ``z``.
 
         Callers compose this with their own residual/LayerNorm convention:
         ViLT-style sites do ``h + delta(h)``; BERT-style sites sandwich it
         between LayerNorms (see ``xbert.py`` port).
+
+        ``weights_bx`` ([B, len(names)]) is required for ``MODE_WEIGHTED``.
         """
         if mode == MODE_NONE or not self.spec.enabled:
             return jnp.zeros_like(z)
@@ -105,6 +113,17 @@ class AdapterCell(nn.Module):
         if mode == MODE_INIT:
             # Average of all adapters; only ever traced by ``init``.
             return sum(one(n) for n in self.spec.names) / len(self.spec.names)
+
+        if mode == MODE_WEIGHTED:
+            # per-example blend; weight columns follow self.spec.names order.
+            # z is [B, S, D] (or [B, D]); weights broadcast over trailing dims
+            assert weights_bx is not None, "MODE_WEIGHTED needs adapter weights"
+            out = jnp.zeros_like(z)
+            for i, name in enumerate(self.spec.names):
+                w = weights_bx[:, i].astype(z.dtype)
+                w = w.reshape(w.shape + (1,) * (z.ndim - 1))
+                out = out + w * one(name)
+            return out
 
         if mode == MODE_ENSEMBLE:
             a, b = ensemble_members(self.spec.names)

@@ -106,6 +106,11 @@ class MultiHeadAttention(nn.Module):
             b, s, _ = t.shape
             return t.reshape(b, s, self.num_heads, d_head).transpose(0, 2, 1, 3)
 
+        from jax.ad_checkpoint import checkpoint_name
+
+        # selective-remat tags (see PreLNLayer): q/k/v are matmul outputs the
+        # backward needs (attention dgrads) — storing them beats recompute
+        q, k, v = (checkpoint_name(t, "qkv") for t in (q, k, v))
         dropout_rng = None
         if not deterministic and self.dropout_rate > 0.0:
             dropout_rng = self.make_rng("dropout")
@@ -121,7 +126,8 @@ class MultiHeadAttention(nn.Module):
         )
         b, h, s, d = ctx.shape
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-        return nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="out")(ctx)
+        out = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="out")(ctx)
+        return checkpoint_name(out, "attn_out")
 
 
 class Mlp(nn.Module):
@@ -135,8 +141,14 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from jax.ad_checkpoint import checkpoint_name
+
         init = nn.initializers.normal(stddev=0.02)
         h = nn.Dense(self.intermediate_size, kernel_init=init, dtype=self.dtype, name="intermediate")(x)
+        # pre-GELU activation: the single most expensive tensor to recompute
+        # (the [*, 4d] matmul) and what GELU's backward needs — prime
+        # selective-remat save target
+        h = checkpoint_name(h, "ffn_preact")
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="output")(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
@@ -184,6 +196,7 @@ class PreLNLayer(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         adapter_mode: str = "none",
         deterministic: bool = True,
+        adapter_weights: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         attn = MultiHeadAttention(
             self.hidden_size,
@@ -220,5 +233,5 @@ class PreLNLayer(nn.Module):
         o = h + f
         if self.adapter.enabled:
             cell = AdapterCell(self.adapter, self.hidden_size, self.dtype, name="adapter")
-            o = o + cell.delta(o, adapter_mode)
+            o = o + cell.delta(o, adapter_mode, adapter_weights)
         return o

@@ -160,6 +160,7 @@ class ViltEncoder(nn.Module):
         adapter_mode: str = "none",
         deterministic: bool = True,
         inputs_embeds: Optional[jnp.ndarray] = None,
+        adapter_weights: Optional[jnp.ndarray] = None,
     ):
         c = self.config
         if token_type_ids is None:
@@ -232,35 +233,43 @@ class ViltEncoder(nn.Module):
         )
 
         class _LayerBody(nn.Module):
-            """Scan body: carry = hidden states; bias broadcast to all layers."""
+            """Scan body: carry = hidden states; bias/adapter weights
+            broadcast to all layers."""
 
             @nn.compact
-            def __call__(self, carry, layer_bias):
+            def __call__(self, carry, layer_bias, layer_adapter_w):
                 layer = PreLNLayer(**layer_kwargs, name="layer")
                 if c.remat and c.remat_policy != "attention":
                     import jax as _jax
 
-                    policy = (
-                        _jax.checkpoint_policies.dots_saveable
-                        if c.remat_policy == "dots"
-                        else None
-                    )
+                    if c.remat_policy == "dots":
+                        policy = _jax.checkpoint_policies.dots_saveable
+                    elif c.remat_policy == "names":
+                        # selective remat: store exactly the cheap-to-store /
+                        # expensive-to-recompute bf16 tensors (tagged in
+                        # layers.py / ops/attention.py), recompute the rest —
+                        # frozen-backbone backward needs nothing else
+                        policy = _jax.checkpoint_policies.save_only_these_names(
+                            "qkv", "attn_probs", "attn_out", "ffn_preact"
+                        )
+                    else:
+                        policy = None
                     out = nn.remat(
-                        lambda mdl, h, b: mdl(h, b, adapter_mode, deterministic),
+                        lambda mdl, h, b, w: mdl(h, b, adapter_mode, deterministic, w),
                         policy=policy,
-                    )(layer, carry, layer_bias)
+                    )(layer, carry, layer_bias, layer_adapter_w)
                 else:
-                    out = layer(carry, layer_bias, adapter_mode, deterministic)
+                    out = layer(carry, layer_bias, adapter_mode, deterministic, layer_adapter_w)
                 return out, None
 
         Layers = nn.scan(
             _LayerBody,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=nn.broadcast,
+            in_axes=(nn.broadcast, nn.broadcast),
             length=c.num_layers,
         )
-        x, _ = Layers(name="layers")(x, bias)
+        x, _ = Layers(name="layers")(x, bias, adapter_weights)
 
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_norm")(x)
         pooled = nn.Dense(
@@ -351,7 +360,9 @@ class ViltContinualLearner(nn.Module):
 
     def encode_single_image(self, task_key, batch, adapter_mode="none", deterministic=True):
         """Encoder-only forward -> pooled [B, d] (used by the fused DAT step,
-        which shares one ensemble encoder pass between its ① and ③ stages)."""
+        which shares one ensemble encoder pass between its ① and ③ stages;
+        the joint step passes per-example ``adapter_weights`` with
+        ``adapter_mode='weighted'``)."""
         _, pooled = self.encoder(
             input_ids=batch["input_ids"],
             attention_mask=batch["attention_mask"],
@@ -360,6 +371,7 @@ class ViltContinualLearner(nn.Module):
             pixel_mask=batch.get("pixel_mask"),
             adapter_mode=adapter_mode,
             deterministic=deterministic,
+            adapter_weights=batch.get("adapter_weights"),
         )
         return pooled
 

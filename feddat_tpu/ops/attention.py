@@ -50,6 +50,11 @@ def _xla_attention(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
     probs = probs.astype(v.dtype)
+    # tag for the selective-remat policy (remat_policy="names"): probs are
+    # expensive to recompute (QK^T + softmax) but cheap to store in bf16
+    from jax.ad_checkpoint import checkpoint_name
+
+    probs = checkpoint_name(probs, "attn_probs")
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 

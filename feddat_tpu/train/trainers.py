@@ -66,13 +66,35 @@ def albef_hooks(
     return hooks
 
 
+def albef_fused_task_loss(pad_token_id: int = 0):
+    """Weighted shifted-CE over the dense answer bank (``albef_model.py:123-145``
+    semantics) computed from pre-shifted cls logits — the task-loss hook for
+    the fused/joint DAT cores."""
+    import jax
+    import jax.numpy as jnp
+
+    def task_loss(shifted_logits, batch):
+        B, A, La = batch["answer_ids"].shape
+        ans_ids = batch["answer_ids"].reshape(B * A, La)
+        targets = jnp.where(ans_ids == pad_token_id, -100, ans_ids)
+        tgt = targets[:, 1:]
+        valid = tgt != -100
+        safe = jnp.where(valid, tgt, 0)
+        logp = jax.nn.log_softmax(shifted_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        seq_loss = jnp.sum(nll, axis=-1)
+        weights = batch["answer_weights"].reshape(B * A)
+        return jnp.sum(weights * seq_loss) / B
+
+    return task_loss
+
+
 def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: int = 0, donate: bool = False):
     """ALBEF fused DAT step: one ensemble encoder+decoder-backbone pass per
     batch (only the ``cls`` LM head changes between DAT stages ① and ③).
     Exact when dropout is off; ALBEF's default dropout is 0.1, so use this
     for throughput-oriented runs or set dropout to 0 for exactness."""
-    import jax.numpy as jnp
-
     from feddat_tpu.configs.core import PEFTMode
     from feddat_tpu.models.albef import AlbefModel
     from feddat_tpu.peft.partition import label_params, merge, split_by_roles
@@ -94,24 +116,9 @@ def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: i
             method=AlbefModel.apply_cls,
         )
 
-    def task_loss(shifted_logits, batch):
-        import jax
-
-        B, A, La = batch["answer_ids"].shape
-        ans_ids = batch["answer_ids"].reshape(B * A, La)
-        targets = jnp.where(ans_ids == pad_token_id, -100, ans_ids)
-        tgt = targets[:, 1:]
-        valid = tgt != -100
-        safe = jnp.where(valid, tgt, 0)
-        logp = jax.nn.log_softmax(shifted_logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        nll = jnp.where(valid, nll, 0.0)
-        seq_loss = jnp.sum(nll, axis=-1)
-        weights = batch["answer_weights"].reshape(B * A)
-        return jnp.sum(weights * seq_loss) / B
-
     return make_dat_train_step_fused(
-        encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=donate
+        encode, head_fn, albef_fused_task_loss(pad_token_id), part, opt_cfg,
+        max_steps, donate=donate
     ), part
 
 

@@ -44,6 +44,14 @@ def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="
     params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
     opt = OptimizerConfig()
     part = Partitioner(params, "fed", PEFTMode.DAT)
+    if remat_policy == "bf16w":  # frozen backbone stored bf16 (no per-use converts)
+        from flax import traverse_util as _tu
+
+        trainable = part.shared_paths | part.local_paths | part.head_paths
+        flat = _tu.flatten_dict(params)
+        params = _tu.unflatten_dict({
+            p: (v if p in trainable else v.astype(jnp.bfloat16)) for p, v in flat.items()
+        })
     state = init_train_state(params, part, opt, jax.random.PRNGKey(0))
     if fused_step:
         labels = label_params(params)
@@ -64,7 +72,14 @@ def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="
         def task_loss(logits, b):
             return bce_with_logits_vqa(logits, b["target_scores"])
 
-        step = make_dat_train_step_fused(encode, head_fn, task_loss, part, opt, max_steps=10_000)
+        if fused_step == 2:  # joint mega-batch step
+            from feddat_tpu.train.dat import make_dat_train_step_joint
+
+            step = make_dat_train_step_joint(
+                encode, head_fn, task_loss, part, opt, max_steps=10_000
+            )
+        else:
+            step = make_dat_train_step_fused(encode, head_fn, task_loss, part, opt, max_steps=10_000)
     else:
         def forward(p, b, mode, dropout_rng):
             _, logits = model.apply(
@@ -82,7 +97,7 @@ def measure(spec):
 
     parts = spec.split(",")
     B, remat, attn, ldt, fused = (
-        int(parts[0]), bool(int(parts[1])), parts[2], parts[3], bool(int(parts[4]))
+        int(parts[0]), bool(int(parts[1])), parts[2], parts[3], int(parts[4])
     )
     policy = parts[5] if len(parts) > 5 else "full"
     try:

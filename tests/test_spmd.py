@@ -163,6 +163,137 @@ def test_spmd_eval_with_heterogeneous_eval_sizes():
         assert all(0.0 <= s <= 100.0 for s in scores), (task, scores)
 
 
+def test_spmd_adapter_mode_matches_sequential_math():
+    """Non-DAT modes through the SPMD engine: plain single-update steps with
+    pmean DP sync + FedAvg of the single shared adapter."""
+    model, params, clients, cfg = _setup(num_clients=2)
+    import dataclasses
+
+    from feddat_tpu.configs.core import AdapterSpec
+    from feddat_tpu.train.dat import make_plain_train_step
+
+    acfg = dataclasses.replace(
+        TINY_VILT, adapter=AdapterSpec(names=("adapter",), reduction_factor=4)
+    )
+    model = ViltContinualLearner(acfg, {FED_HEAD_KEY: TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), next(clients[0].train_batches(0)))
+    cfg = dataclasses.replace(cfg, peft_mode=PEFTMode.ADAPTER)
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    trainer.run_round(0)
+    spmd_flat = traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, trainer.client_state)
+    )
+
+    part = Partitioner(params, FED_HEAD_KEY, PEFTMode.ADAPTER)
+    max_steps = min(c.steps_per_epoch for c in clients) * cfg.num_epochs
+    step = make_plain_train_step(
+        make_vilt_forward(model, FED_HEAD_KEY), part, cfg.optimizer, max_steps,
+        adapter_mode="adapter", donate=False,
+    )
+    steps = min(c.steps_per_epoch for c in clients)
+    client_parts = []
+    for i, c in enumerate(clients):
+        state = init_train_state(params, part, cfg.optimizer, jax.random.PRNGKey(7 + i))
+        it = c.train_batches(epoch=0)
+        for _ in range(steps):
+            state, _ = step(state, next(it))
+        flat = traverse_util.flatten_dict(state.params)
+        client_parts.append({k: flat[k] for k in trainer.client_paths})
+    for k in client_parts[0]:
+        ours = [np.asarray(client_parts[0][k]), np.asarray(client_parts[1][k])]
+        if k in part.shared_paths:
+            expected = 0.5 * ours[0] + 0.5 * ours[1]
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), expected, rtol=2e-4, atol=2e-5, err_msg=str(k)
+                )
+        else:
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), ours[c], rtol=2e-4, atol=2e-5, err_msg=str(k)
+                )
+    entry = trainer.evaluate_round(0)
+    for scores in entry["scores"].values():
+        assert len(scores) == 1  # single-mode eval for non-DAT
+
+
+def test_spmd_albef_matches_sequential_math():
+    """ALBEF family through the SPMD engine: DAT core on the LM loss +
+    rank-answer eval with per-client answer banks inside shard_map."""
+    import dataclasses
+
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from feddat_tpu.peft.partition import teacher_refresh
+    from feddat_tpu.train.forwards import make_albef_forward
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    acfg = dataclasses.replace(
+        TINY_ALBEF,
+        bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.0, attention_dropout=0.0),
+    )
+    clients = [
+        SyntheticAlbefClient(
+            task_key=f"client_{i}", num_train=8, num_eval=4, num_answers=8,
+            vocab_size=64, question_len=6, answer_len=4, image_size=(32, 32),
+            batch_size=4, seed=i,
+        )
+        for i in range(2)
+    ]
+    model = AlbefModel(acfg)
+    batch0 = next(clients[0].train_batches(0))
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch0)
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=2,
+        seed=0,
+    )
+    banks = {c.task_key: (c.answer_ids, c.answer_mask) for c in clients}
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+    trainer = SPMDFederatedTrainer(
+        model, params, clients, cfg, mesh, family="albef", answer_banks=banks, rank_k=4
+    )
+    trainer.run_round(0)
+    spmd_flat = traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, trainer.client_state)
+    )
+
+    part = Partitioner(params, FED_HEAD_KEY, PEFTMode.DAT)
+    max_steps = min(c.steps_per_epoch for c in clients) * cfg.num_epochs
+    step = make_dat_train_step(
+        make_albef_forward(model), part, cfg.optimizer, max_steps, donate=False
+    )
+    steps = min(c.steps_per_epoch for c in clients)
+    client_parts = []
+    for i, c in enumerate(clients):
+        p = teacher_refresh(params)
+        state = init_train_state(p, part, cfg.optimizer, jax.random.PRNGKey(7 + i))
+        it = c.train_batches(epoch=0)
+        for _ in range(steps):
+            state, _ = step(state, next(it))
+        flat = traverse_util.flatten_dict(state.params)
+        client_parts.append({k: flat[k] for k in trainer.client_paths})
+    for k in client_parts[0]:
+        ours = [np.asarray(client_parts[0][k]), np.asarray(client_parts[1][k])]
+        if k in part.shared_paths:
+            expected = 0.5 * ours[0] + 0.5 * ours[1]
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), expected, rtol=5e-4, atol=5e-5, err_msg=str(k)
+                )
+        else:
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), ours[c], rtol=5e-4, atol=5e-5, err_msg=str(k)
+                )
+    entry = trainer.evaluate_round(0)
+    for scores in entry["scores"].values():
+        assert len(scores) == 3 and all(0.0 <= s <= 100.0 for s in scores)
+
+
 def test_spmd_fused_matches_spmd_standard():
     """SPMD with the fused DAT core == SPMD with the standard core."""
     model, params, clients, cfg = _setup(num_clients=2)
