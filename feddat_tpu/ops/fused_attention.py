@@ -1,12 +1,18 @@
 """Pallas fused attention for SHORT sequences (whole-sequence-in-VMEM).
 
 The multimodal VQA workload runs attention at S ~ 185-640 tokens — short
-enough that one (batch*head) slice's entire Q/K/V/S/P tiles fit VMEM.  This
-kernel fuses QK^T + bias + softmax + PV in the forward (saving only the
-logsumexp) and runs the full FlashAttention-style backward as a second
-Pallas kernel (recompute P from the saved logsumexp; dV = P^T dO;
+enough that one batch element's ENTIRE multi-head Q/K/V/S/P tile set fits
+VMEM.  The kernel fuses QK^T + bias + softmax + PV in the forward (saving
+only the logsumexp) and runs the full FlashAttention-style backward as a
+second Pallas kernel (recompute P from the saved logsumexp; dV = P^T dO;
 dS = P*(dP - rowsum(dO*O)); dQ = dS K; dK = dS^T Q) — so the [S, S]
-probability matrix never touches HBM in either direction.
+probability matrices never touch HBM in either direction.
+
+Grid layout (v2): ONE grid step per batch element processing ALL heads as a
+batched dot_general — v1's per-(b, h) cells serialized 768 tiny
+[S, D]-tile steps at B=64/H=12 and lost to XLA (375 vs 466 samples/s); a
+per-b block amortizes grid/DMA overhead 12x and shares the single padding
+bias row for the whole block.
 
 Selected via ``attn_impl='fused'``; no attention-dropout support (ViLT's
 default).  The additive ``bias`` is treated as a constant (padding masks),
@@ -23,24 +29,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# batch-of-heads matmul helpers: operands [H, S, D] / [H, S, S]
+_QK = (((2,), (2,)), ((0,), (0,)))  # q [H,Sq,D] x k [H,Sk,D] -> [H,Sq,Sk]
+_PV = (((2,), (1,)), ((0,), (0,)))  # p [H,Sq,Sk] x v [H,Sk,D] -> [H,Sq,D]
+_PT_DO = (((1,), (1,)), ((0,), (0,)))  # p [H,Sq,Sk] x do [H,Sq,D] -> [H,Sk,D]
+
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)  # [H, S, D]
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    # bias is the compact [1, 1, S] padding-mask row, broadcast over queries
-    # ON-CHIP (materializing [B*H, S, S] in HBM costs more than the matmuls)
-    s = s * scale + bias_ref[0].astype(jnp.float32)
-    m = jnp.max(s, axis=1, keepdims=True)
+    s = jax.lax.dot_general(q, k, _QK, preferred_element_type=jnp.float32)
+    # bias is the compact [1, 1, S] padding-mask row of THIS batch element,
+    # broadcast over (heads, queries) ON-CHIP (materializing [B, H, S, S]
+    # in HBM costs more than the matmuls)
+    s = s * scale + bias_ref[0].astype(jnp.float32)[None, :, :]
+    m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    o = o / l
-    o_ref[0] = o.astype(o_ref.dtype)
-    # lse stored [1, 1, S]: keeps the trailing block dims equal to the array
-    # dims (TPU lowering requires divisibility by (8, 128) otherwise)
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    l = jnp.sum(p, axis=2, keepdims=True)
+    o = jax.lax.dot_general(p, v, _PV, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, :, 0]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref, lse_ref,
@@ -50,69 +59,55 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref, lse_ref,
     v = v_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
+    lse = lse_ref[0][:, :, None]  # [H, S, 1]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale + bias_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, _QK, preferred_element_type=jnp.float32)
+    s = s * scale + bias_ref[0].astype(jnp.float32)[None, :, :]
     p = jnp.exp(s - lse)
 
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=1, keepdims=True)
+    dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, _QK, preferred_element_type=jnp.float32)
+    delta = jnp.sum(do * o, axis=2, keepdims=True)
     ds = p * (dp - delta)
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32) * scale
 
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _prep(q, k, v, bias):
-    """-> flattened q/k/v [B*H, S, D] + compact bias rows [B, 1, S].
-
-    Only [B, 1, 1, S]-broadcastable padding biases are supported in the fast
-    path (the model's masks); the per-(b, h) kernel block indexes its row by
-    ``i // h`` and broadcasts over queries on-chip.
-    """
-    b, h, sq, d = q.shape
-    skv = k.shape[2]
-    assert sq == skv, "fused short-seq kernel expects self-attention shapes"
+def _bias_rows(bias, b, skv):
+    """Only [B, 1, 1, S]-broadcastable padding biases are supported in the
+    fast path (the model's masks)."""
     if bias is None:
-        bias_rows = jnp.zeros((b, 1, skv), jnp.float32)
-    else:
-        assert bias.shape[1] == 1 and bias.shape[2] == 1, (
-            "fused path expects a [B, 1, 1, S] padding bias"
-        )
-        bias_rows = bias.astype(jnp.float32).reshape(b, 1, skv)
-    return (
-        q.reshape(b * h, sq, d),
-        k.reshape(b * h, skv, d),
-        v.reshape(b * h, skv, d),
-        bias_rows,
+        return jnp.zeros((b, 1, skv), jnp.float32)
+    assert bias.shape[1] == 1 and bias.shape[2] == 1, (
+        "fused path expects a [B, 1, 1, S] padding bias"
     )
+    return bias.astype(jnp.float32).reshape(b, 1, skv)
 
 
 def _fwd_call(q, k, v, bias, scale, interpret):
     b, h, s, d = q.shape
-    qf, kf, vf, bf = _prep(q, k, v, bias)
-    bh = qf.shape[0]
-    spec3 = lambda last: pl.BlockSpec((1, s, last), lambda i: (i, 0, 0))
+    assert k.shape[2] == s, "fused short-seq kernel expects self-attention shapes"
+    bf = _bias_rows(bias, b, s)
+    spec4 = pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0))
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        grid=(bh,),
+        grid=(b,),
         in_specs=[
-            spec3(d), spec3(d), spec3(d),
-            pl.BlockSpec((1, 1, s), lambda i: (i // h, 0, 0)),
+            spec4, spec4, spec4,
+            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0)),
         ],
-        out_specs=(spec3(d), pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0))),
+        out_specs=(spec4, pl.BlockSpec((1, h, s), lambda i: (i, 0, 0))),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, s, d), v.dtype),
-            jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, s), jnp.float32),
         ),
         interpret=interpret,
-    )(qf, kf, vf, bf)
-    return o.reshape(b, h, s, d), lse
+    )(q, k, v, bf)
+    return o, lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -135,31 +130,25 @@ def _fused_bwd(scale, interpret, res, g):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, s, d = q.shape
-    qf, kf, vf, bf = _prep(q, k, v, bias)
-    of = o.reshape(b * h, s, d)
-    gf = g.reshape(b * h, s, d)
-    bh = qf.shape[0]
-    spec3 = lambda last: pl.BlockSpec((1, s, last), lambda i: (i, 0, 0))
+    bf = _bias_rows(bias, b, s)
+    spec4 = pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
-        grid=(bh,),
+        grid=(b,),
         in_specs=[
-            spec3(d), spec3(d), spec3(d),
-            pl.BlockSpec((1, 1, s), lambda i: (i // h, 0, 0)),
-            spec3(d), spec3(d),
+            spec4, spec4, spec4,
             pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0)),
+            spec4, spec4,
+            pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),
         ],
-        out_specs=(spec3(d), spec3(d), spec3(d)),
+        out_specs=(spec4, spec4, spec4),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, s, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, s, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
         ),
         interpret=interpret,
-    )(qf, kf, vf, bf, of, gf, lse)
-    dq = dq.reshape(b, h, s, d)
-    dk = dk.reshape(b, h, s, d)
-    dv = dv.reshape(b, h, s, d)
+    )(q, k, v, bf, o, g, lse)
     return dq, dk, dv, None
 
 

@@ -364,6 +364,48 @@ def test_cli_vqav2_smoke_end_to_end(tmp_path):
     _assert_history(out_dir, "vqa")
 
 
+def test_cli_albef_spmd_smoke_end_to_end(fake_task):
+    """ALBEF family through --engine spmd: LM-loss DAT core + rank-answer
+    eval with the stacked per-client answer banks."""
+    data_root, vocab_file, tmp_path = fake_task
+    task_dir = data_root / "testtask"
+    with open(task_dir / "ans2label.pkl", "wb") as f:
+        pickle.dump({c: i for i, c in enumerate("abcdefgh")}, f)
+    key2 = "testtask_b"
+    spec = TASK_CONFIGS["testtask"]
+    TASK_CONFIGS[key2] = TaskSpec(
+        task_key=key2, task_name=key2, data_dir=spec.data_dir,
+        images_source="vizwiz", splits=("train_small", "val"), num_labels=100,
+    )
+    from feddat_tpu.cli import main
+
+    out_dir = tmp_path / "logs_albef_spmd"
+    rc = main(
+        [
+            "--encoder_name", "albef_no_distill",
+            "--optimizer_mode", "dat",
+            "--engine", "spmd",
+            "--mesh_data", "2",
+            "--ordered_cl_tasks", "testtask,testtask_b",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--smoke",
+        ]
+    )
+    assert rc == 0
+    histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
+    history = json.load(open(out_dir / histories[0]))
+    assert set(history[-1]["scores"]) == {"testtask", "testtask_b"}
+    assert len(history[-1]["scores"]["testtask"]) == 3
+
+
 def test_cli_albef_smoke_end_to_end(fake_task):
     data_root, vocab_file, tmp_path = fake_task
     # the ALBEF path additionally needs the task's ans2label pickle
