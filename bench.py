@@ -163,6 +163,7 @@ def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4):
         cfg = AlbefModelConfig(
             adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
             remat=True,
+            attention_logits_dtype="bfloat16" if dtype == "bfloat16" else "float32",
         )
     else:  # CPU smoke-scale
         cfg = AlbefModelConfig(

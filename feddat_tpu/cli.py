@@ -312,6 +312,10 @@ def main(argv=None) -> int:
         heads = {FED_HEAD_KEY: next(iter(specs))}
     else:
         heads = {k: head_spec(k) for k in task_keys}
+    from feddat_tpu.configs.core import LoraSpec, PromptSpec
+
+    smoke_lora = LoraSpec(rank=2, enabled=(mode == PEFTMode.LORA))
+    smoke_prompt = PromptSpec(length=2, bottleneck=8, enabled=(mode == PEFTMode.PROMPT))
     if args.smoke and args.encoder_name.startswith("albef"):
         from feddat_tpu.configs.core import (
             AlbefBertConfig,
@@ -328,6 +332,7 @@ def main(argv=None) -> int:
             image_res=64, patch_size=32, vision_width=32, vision_layers=2,
             vision_heads=4, bert=smoke_bert, decoder_layers=2,
             adapter=adapter_spec_for_mode(mode, 4),
+            lora=smoke_lora, prompt=smoke_prompt,
             distill=(args.encoder_name == "albef_distill"),
         )
         model, model_cfg = AlbefModel(smoke_cfg), smoke_cfg
@@ -339,8 +344,14 @@ def main(argv=None) -> int:
             hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
             max_text_len=16, image_size=(64, 64), patch_size=32,
             adapter=adapter_spec_for_mode(mode, 4),
+            lora=smoke_lora, prompt=smoke_prompt,
         )
-        model, model_cfg = ViltContinualLearner(smoke_cfg, heads), smoke_cfg
+        if args.encoder_name == "viltbert":
+            from feddat_tpu.models.viltbert import ViltBertContinualLearner
+
+            model, model_cfg = ViltBertContinualLearner(smoke_cfg, heads), smoke_cfg
+        else:
+            model, model_cfg = ViltContinualLearner(smoke_cfg, heads), smoke_cfg
     else:
         model, model_cfg = create_model(
             args.encoder_name, heads, mode, args.adapter_reduction_factor, args.dtype

@@ -173,6 +173,10 @@ class AlbefModelConfig:
     lora: LoraSpec = LoraSpec()
     prompt: PromptSpec = PromptSpec()
     remat: bool = False
+    # Storage dtype of attention logits/cotangents (see ViltModelConfig):
+    # "bfloat16" halves the dominant HBM traffic of the attention backward
+    # (+14%% measured on ViLT; same trick, same fp32 softmax accumulation).
+    attention_logits_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -80,6 +80,7 @@ class AlbefModel(nn.Module):
 
     def setup(self):
         self.visual_encoder = VisionTransformer(self.cfg, self.dtype, self.attn_impl)
+        logits_dtype = jnp.dtype(self.cfg.attention_logits_dtype)
         self.text_encoder = XBertModel(
             self.cfg.bert,
             adapter=self.cfg.adapter,
@@ -87,6 +88,7 @@ class AlbefModel(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.cfg.remat,
+            logits_dtype=logits_dtype,
         )
         self.text_decoder = XBertLMHead(
             decoder_config(self.cfg),
@@ -95,6 +97,7 @@ class AlbefModel(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.cfg.remat,
+            logits_dtype=logits_dtype,
         )
 
     # -- building blocks ---------------------------------------------------

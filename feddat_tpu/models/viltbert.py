@@ -76,6 +76,23 @@ class ViltBertContinualLearner(ViltContinualLearner):
         )
         return jax.lax.stop_gradient(out)
 
+    def encode_single_image(self, task_key, batch, adapter_mode="none", deterministic=True):
+        """Encoder-only forward (fused/joint DAT steps) — must route text
+        through the frozen BERT like the full forward."""
+        embeds = self._bert_embeds(batch["input_ids"], batch["attention_mask"], deterministic)
+        _, pooled = self.encoder(
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            token_type_ids=batch.get("token_type_ids"),
+            pixel_values=batch["pixel_values"],
+            pixel_mask=batch.get("pixel_mask"),
+            adapter_mode=adapter_mode,
+            deterministic=deterministic,
+            inputs_embeds=embeds,
+            adapter_weights=batch.get("adapter_weights"),
+        )
+        return pooled
+
     def forward_single_image(self, task_key, batch, adapter_mode="none", deterministic=True):
         embeds = self._bert_embeds(batch["input_ids"], batch["attention_mask"], deterministic)
         _, pooled = self.encoder(

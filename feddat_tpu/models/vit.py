@@ -56,6 +56,7 @@ class VisionTransformer(nn.Module):
             lora=c.lora,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            logits_dtype=jnp.dtype(c.attention_logits_dtype),
         )
 
         use_remat = c.remat

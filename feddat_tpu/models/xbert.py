@@ -67,6 +67,7 @@ class XBertLayer(nn.Module):
     lora: LoraSpec = LoraSpec()
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    logits_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -92,6 +93,7 @@ class XBertLayer(nn.Module):
             lora=self.lora,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            logits_dtype=self.logits_dtype,
             name="attention",
         )(x, bias=self_bias, deterministic=deterministic)
         h = residual_block(x, attn, "attention_norm")
@@ -104,6 +106,7 @@ class XBertLayer(nn.Module):
                 lora=self.lora,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                logits_dtype=self.logits_dtype,
                 name="crossattention",
             )(h, kv=enc_states, bias=enc_bias, deterministic=deterministic)
             h = residual_block(h, cross, "crossattention_norm")
@@ -134,6 +137,7 @@ class XBertEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    logits_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -159,6 +163,7 @@ class XBertEncoder(nn.Module):
                 lora=self.lora,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                logits_dtype=self.logits_dtype,
             )
 
             class _Body(nn.Module):
@@ -212,6 +217,7 @@ class XBertModel(nn.Module):
     attn_impl: str = "auto"
     is_decoder: bool = False
     remat: bool = False
+    logits_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -250,6 +256,7 @@ class XBertModel(nn.Module):
             self.dtype,
             self.attn_impl,
             remat=self.remat,
+            logits_dtype=self.logits_dtype,
             name="encoder",
         )(
             x,
@@ -292,6 +299,7 @@ class XBertLMHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    logits_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.bert = XBertModel(
@@ -302,6 +310,7 @@ class XBertLMHead(nn.Module):
             self.attn_impl,
             is_decoder=True,
             remat=self.remat,
+            logits_dtype=self.logits_dtype,
         )
         self.cls = BertPredictionHead(self.cfg, self.dtype)
 

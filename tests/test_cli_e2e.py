@@ -364,6 +364,63 @@ def test_cli_vqav2_smoke_end_to_end(tmp_path):
     _assert_history(out_dir, "vqa")
 
 
+@pytest.mark.parametrize("mode", ["lora", "prompt", "bias"])
+def test_cli_peft_mode_smoke(fake_task, mode):
+    """Baseline PEFT modes are launchable end-to-end (the reference's
+    --optimizer_mode routing, main.py:132-245); smoke configs must actually
+    materialize the mode's parameters (LoRA/prompt)."""
+    data_root, vocab_file, tmp_path = fake_task
+    from feddat_tpu.cli import main
+
+    out_dir = tmp_path / f"logs_{mode}"
+    rc = main(
+        [
+            "--encoder_name", "vilt",
+            "--optimizer_mode", mode,
+            "--ordered_cl_tasks", "testtask",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--smoke",
+        ]
+    )
+    assert rc == 0
+    _assert_history(out_dir, "testtask")
+
+
+def test_cli_viltbert_smoke(fake_task):
+    data_root, vocab_file, tmp_path = fake_task
+    from feddat_tpu.cli import main
+
+    out_dir = tmp_path / "logs_viltbert"
+    rc = main(
+        [
+            "--encoder_name", "viltbert",
+            "--optimizer_mode", "dat",
+            "--ordered_cl_tasks", "testtask",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--smoke",
+            "--use_fused_dat",
+        ]
+    )
+    assert rc == 0
+    _assert_history(out_dir, "testtask")
+
+
 def test_cli_albef_spmd_smoke_end_to_end(fake_task):
     """ALBEF family through --engine spmd: LM-loss DAT core + rank-answer
     eval with the stacked per-client answer banks."""
