@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--vocab_file", default=None,
                    help="bert-base-uncased vocab.txt for the WordPiece tokenizer")
+    p.add_argument("--bert_model_path", default=None,
+                   help="torch state dict of a BertModel for the viltbert text "
+                        "half (the reference loads bert-base-uncased, "
+                        "viltbert.py:115-120)")
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--use_fused_dat", action="store_true",
                    help="use the single-ensemble-pass fused DAT step (exact when encoder dropout is off)")
@@ -373,6 +377,20 @@ def main(argv=None) -> int:
             pretrained = convert_hf_vilt(sd, num_layers=model_cfg.num_layers,
                                          num_patches_new=model_cfg.num_patches)
             params = merge_pretrained(params, {"vilt": pretrained})
+        if args.encoder_name == "viltbert" and args.bert_model_path:
+            import torch
+
+            from feddat_tpu.utils.checkpoint_convert import (
+                convert_bert_to_xbert,
+                merge_pretrained,
+            )
+
+            bert_sd = torch.load(args.bert_model_path, map_location="cpu")
+            text_bert = convert_bert_to_xbert(
+                bert_sd, num_layers=model_cfg.num_layers,
+                fusion_layer=model_cfg.num_layers,
+            )
+            params = merge_pretrained(params, {"text_bert": text_bert})
     else:
         from feddat_tpu.models.albef import init_albef_params
 

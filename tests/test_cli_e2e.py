@@ -395,13 +395,28 @@ def test_cli_peft_mode_smoke(fake_task, mode):
 
 
 def test_cli_viltbert_smoke(fake_task):
+    """viltbert end-to-end incl. the frozen-BERT weight load
+    (--bert_model_path, reference viltbert.py:115-120)."""
     data_root, vocab_file, tmp_path = fake_task
+    import torch
+    from transformers import BertConfig, BertModel
+
+    # tiny HF BertModel matching the smoke config dims (hidden 32, 2 layers)
+    # vocab/positions must match the smoke ViltModelConfig's text_bert dims
+    hf_cfg = BertConfig(
+        vocab_size=30522, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, max_position_embeddings=512,
+    )
+    bert_path = tmp_path / "bert.bin"
+    torch.save(BertModel(hf_cfg, add_pooling_layer=False).state_dict(), bert_path)
+
     from feddat_tpu.cli import main
 
     out_dir = tmp_path / "logs_viltbert"
     rc = main(
         [
             "--encoder_name", "viltbert",
+            "--bert_model_path", str(bert_path),
             "--optimizer_mode", "dat",
             "--ordered_cl_tasks", "testtask",
             "--climb_data_dir", str(data_root),

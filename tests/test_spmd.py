@@ -294,6 +294,53 @@ def test_spmd_albef_matches_sequential_math():
         assert len(scores) == 3 and all(0.0 <= s <= 100.0 for s in scores)
 
 
+def test_spmd_albef_fused_matches_spmd_standard():
+    """ALBEF SPMD with the fused DAT core == ALBEF SPMD standard core."""
+    import dataclasses
+
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    acfg = dataclasses.replace(
+        TINY_ALBEF,
+        bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.0, attention_dropout=0.0),
+    )
+    clients = [
+        SyntheticAlbefClient(
+            task_key=f"client_{i}", num_train=8, num_eval=4, num_answers=8,
+            vocab_size=64, question_len=6, answer_len=4, image_size=(32, 32),
+            batch_size=4, seed=i,
+        )
+        for i in range(2)
+    ]
+    model = AlbefModel(acfg)
+    params = init_albef_params(model, jax.random.PRNGKey(0), next(clients[0].train_batches(0)))
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=2,
+        seed=0,
+    )
+    banks = {c.task_key: (c.answer_ids, c.answer_mask) for c in clients}
+    t_std = SPMDFederatedTrainer(
+        model, params, clients, cfg, make_mesh(num_clients=2, data_parallel=1),
+        family="albef", answer_banks=banks, rank_k=4,
+    )
+    t_fused = SPMDFederatedTrainer(
+        model, params, clients, cfg, make_mesh(num_clients=2, data_parallel=1),
+        family="albef", answer_banks=banks, rank_k=4, use_fused=True,
+    )
+    t_std.run_round(0)
+    t_fused.run_round(0)
+    f0 = traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, t_std.client_state))
+    f1 = traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, t_fused.client_state))
+    for k in f0:
+        # atol 3e-6: fp32 reassociation noise on near-zero adapter weights
+        np.testing.assert_allclose(f0[k], f1[k], rtol=5e-4, atol=3e-6, err_msg=str(k))
+
+
 def test_spmd_fused_matches_spmd_standard():
     """SPMD with the fused DAT core == SPMD with the standard core."""
     model, params, clients, cfg = _setup(num_clients=2)
