@@ -265,6 +265,7 @@ def main():
                 "value": round(albef_tuned, 2),
                 "unit": "samples/s",
                 "vs_baseline": round(albef_tuned / albef_base, 2),
+                "baseline_samples_per_sec": round(albef_base, 2),
                 "rank_answer_questions_per_sec": round(rank_qps, 2),
             }
         ),
@@ -283,6 +284,11 @@ def main():
                 "value": round(tuned, 2),
                 "unit": "samples/s",
                 "vs_baseline": round(tuned / baseline, 2),
+                # the denominator: THIS framework at the reference's own
+                # B=2 fp32 config (fully jitted; ~81% of fp32 matmul peak) —
+                # a conservative stand-in for the torch reference, which
+                # cannot run on TPU.  See BASELINE.md / PERF.md.
+                "baseline_samples_per_sec": round(baseline, 2),
             }
         )
     )

@@ -419,6 +419,11 @@ def main(argv=None) -> int:
     from feddat_tpu.train.trainers import resolve_trainer
 
     if args.engine == "spmd":
+        if args.do_single:
+            raise ValueError(
+                "--do_single is a per-task centralized baseline with no client "
+                "axis; use --engine sequential for it"
+            )
         from feddat_tpu.federated.spmd import SPMDFederatedTrainer
         from feddat_tpu.parallel.mesh import make_mesh, make_multihost_mesh
 
