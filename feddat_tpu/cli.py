@@ -160,11 +160,13 @@ def _build_classification_client(args, key, spec, tokenizer):
     max_text_len = smoke_kw.get("max_text_len", 40)
 
     if spec.trainer == "vqa":
+        # low-shot subsampling uses the reference's FIXED seed
+        # (``random.Random(1)``, vqa_dataset.py:181), independent of --seed
         ex = convert_to_low_shot(
-            load_vqav2_examples(data_dir, "train", tokenizer), 0.05, seed=args.seed
+            load_vqav2_examples(data_dir, "train", tokenizer), 0.05, seed=1
         )
         ev = convert_to_low_shot(
-            load_vqav2_examples(data_dir, "val", tokenizer), 0.05, seed=args.seed
+            load_vqav2_examples(data_dir, "val", tokenizer), 0.05, seed=1
         )
         backend = make_backend(spec.images_source, key, args.climb_data_dir)
         return ViltVQAPipeline(
@@ -173,10 +175,10 @@ def _build_classification_client(args, key, spec, tokenizer):
         )
     if spec.trainer == "nlvr2":
         ex = convert_to_low_shot_per_class(
-            load_nlvr2_examples(data_dir, "train"), spec.num_labels, 2048, seed=args.seed
+            load_nlvr2_examples(data_dir, "train"), spec.num_labels, 2048, seed=1
         )
         ev = convert_to_low_shot_per_class(
-            load_nlvr2_examples(data_dir, "val"), spec.num_labels, 256, seed=args.seed
+            load_nlvr2_examples(data_dir, "val"), spec.num_labels, 256, seed=1
         )
         return Nlvr2Pipeline(
             ex, tokenizer, max_text_len, canvas,
@@ -184,10 +186,10 @@ def _build_classification_client(args, key, spec, tokenizer):
         )
     if spec.trainer == "snli_ve":
         ex = convert_to_low_shot_per_class(
-            load_snli_ve_examples(data_dir, "train"), spec.num_labels, 2048, seed=args.seed
+            load_snli_ve_examples(data_dir, "train"), spec.num_labels, 2048, seed=1
         )
         ev = convert_to_low_shot_per_class(
-            load_snli_ve_examples(data_dir, "dev"), spec.num_labels, 256, seed=args.seed
+            load_snli_ve_examples(data_dir, "dev"), spec.num_labels, 256, seed=1
         )
         backend = make_backend(spec.images_source, key, args.climb_data_dir)
         return SnliVePipeline(
@@ -197,8 +199,8 @@ def _build_classification_client(args, key, spec, tokenizer):
     if spec.trainer == "vcr":
         from feddat_tpu.data.datasets import convert_to_low_shot as low_shot_pct
 
-        ex = low_shot_pct(load_vcr_examples(data_dir, "train", "qa"), 0.05, seed=args.seed)
-        ev = low_shot_pct(load_vcr_examples(data_dir, "val", "qa"), 0.05, seed=args.seed)
+        ex = low_shot_pct(load_vcr_examples(data_dir, "train", "qa"), 0.05, seed=1)
+        ev = low_shot_pct(load_vcr_examples(data_dir, "val", "qa"), 0.05, seed=1)
         return VcrPipeline(
             ex, tokenizer, max_text_len, canvas, batch_size=args.batch_size,
             num_choices=spec.num_choices, seed=args.seed,
@@ -445,13 +447,27 @@ def main(argv=None) -> int:
                 "DAT path, train_albef.sh)"
             )
         kinds = {TASK_CONFIGS[k].trainer for k in task_keys}
+        is_classification = bool(kinds & {"nlvr2", "snli_ve", "vcr"})
+        use_fused = args.use_fused_dat
+        if use_fused and is_classification:
+            logger.warning(
+                "--use_fused_dat covers the VQA-family losses; classification "
+                "tasks use the standard DAT step"
+            )
+            use_fused = False
+        make_forward = None
+        if is_classification and not is_albef:
+            from feddat_tpu.train.forwards import make_vilt_forward
+
+            make_forward = lambda m, k: make_vilt_forward(m, k, loss="ce")
         trainer = SPMDFederatedTrainer(
             model, params, list(clients.values()), config, mesh,
-            use_fused=args.use_fused_dat,
+            make_forward=make_forward,
+            use_fused=use_fused,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
             family="albef" if is_albef else "vilt",
             answer_banks=answer_banks if is_albef else None,
-            metric="accuracy" if kinds & {"nlvr2", "snli_ve", "vcr"} else "vqa_score",
+            metric="accuracy" if is_classification else "vqa_score",
         )
         history = trainer.run()
     else:
@@ -478,6 +494,13 @@ def main(argv=None) -> int:
             return make_eval_step(model_, task_key, h.metric)
 
         first_hooks = hooks_for(task_keys[0])
+        use_fused = args.use_fused_dat
+        if use_fused and {TASK_CONFIGS[k].trainer for k in task_keys} - {"vqa_cross", "vqa"}:
+            logger.warning(
+                "--use_fused_dat covers the VQA-family losses (BCE single-image); "
+                "classification tasks use the standard DAT step"
+            )
+            use_fused = False
         # Non-federated tasks take lr/wd/eps/warmup from the task config
         # (``train_nlvr2.py:88-97``); the federated cross-VQA path uses --lr.
         opt_overrides = {
@@ -498,7 +521,7 @@ def main(argv=None) -> int:
             aux_init=first_hooks.aux_init,
             batch_transform=first_hooks.batch_transform,
             aux_forward=first_hooks.aux_forward,
-            use_fused_dat=args.use_fused_dat,
+            use_fused_dat=use_fused,
             optimizer_overrides=opt_overrides,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
         )

@@ -546,4 +546,8 @@ class SPMDFederatedTrainer:
                 self.save_checkpoint(r)
             if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
                 self.evaluate_round(r)
+        if not self.history and rounds > 0:
+            # resumed at/after the final round: still produce a final eval so
+            # the run's history is never empty
+            self.evaluate_round(rounds - 1)
         return self.history

@@ -58,9 +58,15 @@ def initialize_multihost(
     With no arguments, ``jax.distributed.initialize()`` auto-detects the
     cluster from the TPU pod/GKE/SLURM environment; explicit
     coordinator/process arguments cover bare-metal launches.  Returns the
-    process count.  Idempotent: safe to call when already initialized or on
-    a single host.
+    process count.
+
+    Failure policy: with EXPLICIT arguments a failed init propagates — a
+    mistyped coordinator/process count silently degrading to single-process
+    would train disconnected copies with no cross-host FedAvg.  With no
+    arguments, already-initialized and no-cluster-detected are both benign
+    (single-host runs).
     """
+    explicit = any(a is not None for a in (coordinator_address, num_processes, process_id))
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -68,9 +74,8 @@ def initialize_multihost(
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        # already initialized, or a single-process environment with no
-        # cluster autodetection — both fine
-        pass
+        if explicit:
+            raise
     return jax.process_count()
 
 

@@ -374,6 +374,11 @@ def dat_step_core_joint(
     FLOPs are unchanged (+~1% for the always-on adapter blend); scan
     launches are halved.  Exact when encoder dropout is off (ViLT default),
     like the fused step.
+
+    ``adapter_names`` / ``ensemble_weight`` MUST match the model's
+    ``AdapterSpec`` (names order and ``ensemble_weight``) — pass them from
+    the spec when it deviates from the DAT defaults, or the step silently
+    trains a different ensemble mix than eval uses.
     """
     tx = adamw_direction(opt_cfg)
     schedule = polynomial_schedule(opt_cfg, max_steps)

@@ -436,6 +436,38 @@ def test_cli_viltbert_smoke(fake_task):
     _assert_history(out_dir, "testtask")
 
 
+def test_cli_nlvr2_spmd_smoke(fake_nlvr2):
+    """Classification family through --engine spmd: CE forward + accuracy
+    eval inside the shard_map (the VQA BCE default would KeyError on these
+    batches — regression guard for the loss-routing fix)."""
+    data_root, vocab_file, tmp_path = fake_nlvr2
+    from feddat_tpu.cli import main
+
+    out_dir = tmp_path / "logs_nlvr2_spmd"
+    rc = main(
+        [
+            "--encoder_name", "vilt",
+            "--optimizer_mode", "dat",
+            "--engine", "spmd",
+            "--mesh_clients", "1",
+            "--mesh_data", "1",
+            "--ordered_cl_tasks", "nlvr2",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--smoke",
+        ]
+    )
+    assert rc == 0
+    _assert_history(out_dir, "nlvr2")
+
+
 def test_cli_albef_spmd_smoke_end_to_end(fake_task):
     """ALBEF family through --engine spmd: LM-loss DAT core + rank-answer
     eval with the stacked per-client answer banks."""
