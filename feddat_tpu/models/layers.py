@@ -188,6 +188,11 @@ class PreLNLayer(nn.Module):
     # recompute (one fwd-equivalent per backward) while fitting large
     # batches in HBM.
     remat_attention: bool = False
+    # Recompute the LayerNorms in the backward (their fp32 internals are
+    # what blows up no-remat memory; recompute is a cheap VPU pass).  Part
+    # of the "minimal-save" policy: no layer remat + Pallas attention (no
+    # stored probs) + checkpointed LNs.
+    remat_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -208,9 +213,13 @@ class PreLNLayer(nn.Module):
             logits_dtype=self.logits_dtype,
             name="attention",
         )
-        attn_in = nn.LayerNorm(
+        ln_before = nn.LayerNorm(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_before"
-        )(x)
+        )
+        if self.remat_ln:
+            attn_in = nn.remat(lambda mdl, h: mdl(h))(ln_before, x)
+        else:
+            attn_in = ln_before(x)
         if self.remat_attention:
             attn_out = nn.remat(
                 lambda mdl, h, b: mdl(h, bias=b, deterministic=deterministic)
@@ -220,16 +229,18 @@ class PreLNLayer(nn.Module):
         attn_out = nn.Dropout(self.dropout_rate)(attn_out, deterministic=deterministic)
         h = x + attn_out
 
+        ln_after = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_after")
+        if self.remat_ln:
+            mlp_in = nn.remat(lambda mdl, hh: mdl(hh))(ln_after, h)
+        else:
+            mlp_in = ln_after(h)
         f = Mlp(
             self.intermediate_size,
             self.hidden_size,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             name="mlp",
-        )(
-            nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_after")(h),
-            deterministic=deterministic,
-        )
+        )(mlp_in, deterministic=deterministic)
         o = h + f
         if self.adapter.enabled:
             cell = AdapterCell(self.adapter, self.hidden_size, self.dtype, name="adapter")

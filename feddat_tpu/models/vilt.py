@@ -230,6 +230,7 @@ class ViltEncoder(nn.Module):
             attn_impl=self.attn_impl,
             logits_dtype=jnp.dtype(c.attention_logits_dtype),
             remat_attention=(c.remat and c.remat_policy == "attention"),
+            remat_ln=(c.remat and c.remat_policy == "min_save"),
         )
 
         class _LayerBody(nn.Module):
@@ -239,7 +240,7 @@ class ViltEncoder(nn.Module):
             @nn.compact
             def __call__(self, carry, layer_bias, layer_adapter_w):
                 layer = PreLNLayer(**layer_kwargs, name="layer")
-                if c.remat and c.remat_policy != "attention":
+                if c.remat and c.remat_policy not in ("attention", "min_save"):
                     import jax as _jax
 
                     if c.remat_policy == "dots":
