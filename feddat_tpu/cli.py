@@ -78,6 +78,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--use_fused_dat", action="store_true",
                    help="use the single-ensemble-pass fused DAT step (exact when encoder dropout is off)")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing (required for large batches on TPU; "
+                        "full-layer remat at per-pass B=64 is the measured v5e optimum)")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "dots", "attention", "names", "min_save"],
+                   help="remat granularity (PERF.md documents the measured trade-offs)")
+    p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "fused", "flash"],
+                   help="attention kernel: auto/xla (XLA fused), fused (Pallas "
+                        "short-seq), flash (Pallas long-seq)")
+    p.add_argument("--attention_logits_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of attention logits; default float32 "
+                        "(reference parity), bfloat16 = +14-16%% throughput; "
+                        "defaults to bfloat16 when --dtype bfloat16")
     p.add_argument("--smoke", action="store_true",
                    help="CI smoke mode: tiny model dimensions + tiny images (functional path only)")
     return p
@@ -359,8 +373,13 @@ def main(argv=None) -> int:
         else:
             model, model_cfg = ViltContinualLearner(smoke_cfg, heads), smoke_cfg
     else:
+        logits_dtype = args.attention_logits_dtype or (
+            "bfloat16" if args.dtype == "bfloat16" else "float32"
+        )
         model, model_cfg = create_model(
-            args.encoder_name, heads, mode, args.adapter_reduction_factor, args.dtype
+            args.encoder_name, heads, mode, args.adapter_reduction_factor, args.dtype,
+            remat=args.remat, remat_policy=args.remat_policy,
+            attn_impl=args.attn_impl, attention_logits_dtype=logits_dtype,
         )
 
     clients, answer_banks = build_clients(args, task_keys, tokenizer)

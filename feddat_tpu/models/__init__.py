@@ -22,9 +22,19 @@ def create_model(
     image_size: Optional[Tuple[int, int]] = None,
     lora_enabled: Optional[bool] = None,
     prompt_enabled: Optional[bool] = None,
+    remat: bool = False,
+    remat_policy: str = "full",
+    attn_impl: str = "auto",
+    attention_logits_dtype: str = "float32",
 ):
     """-> (model, model_config).  ``task_heads`` maps task_key -> TaskHeadSpec
-    (ignored by ALBEF, whose head is the LM decoder)."""
+    (ignored by ALBEF, whose head is the LM decoder).
+
+    TPU performance knobs (PERF.md): ``remat`` (gradient checkpointing —
+    required for large batches), ``attn_impl`` ('auto' XLA | 'fused' Pallas
+    short-seq | 'flash' long-seq), ``attention_logits_dtype`` ('bfloat16'
+    halves the attention backward's HBM traffic, +14-16% measured).
+    """
     import jax.numpy as jnp
 
     from feddat_tpu.configs.core import (
@@ -46,15 +56,18 @@ def create_model(
             adapter=adapter,
             lora=lora,
             prompt=prompt,
+            remat=remat,
+            remat_policy=remat_policy,
+            attention_logits_dtype=attention_logits_dtype,
             **({"image_size": image_size} if image_size else {}),
         )
         if encoder_name == "viltbert":
             from feddat_tpu.models.viltbert import ViltBertContinualLearner
 
-            return ViltBertContinualLearner(cfg, task_heads, dtype=jdtype), cfg
+            return ViltBertContinualLearner(cfg, task_heads, dtype=jdtype, attn_impl=attn_impl), cfg
         from feddat_tpu.models.vilt import ViltContinualLearner
 
-        return ViltContinualLearner(cfg, task_heads, dtype=jdtype), cfg
+        return ViltContinualLearner(cfg, task_heads, dtype=jdtype, attn_impl=attn_impl), cfg
 
     if encoder_name in ("albef_distill", "albef_no_distill"):
         from feddat_tpu.models.albef import AlbefModel
@@ -63,9 +76,11 @@ def create_model(
             adapter=adapter,
             lora=lora,
             prompt=prompt,
+            remat=remat,
+            attention_logits_dtype=attention_logits_dtype,
             distill=(encoder_name == "albef_distill"),
         )
-        return AlbefModel(cfg, dtype=jdtype), cfg
+        return AlbefModel(cfg, dtype=jdtype, attn_impl=attn_impl), cfg
 
     raise ValueError(
         f"unknown encoder {encoder_name!r}; allowed: {ALLOWED_CL_ENCODERS} "

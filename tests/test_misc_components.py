@@ -130,3 +130,23 @@ def test_param_budget_report():
     # personal = heads + adapter_0 + adapter_2
     assert b["personal"] > b["communicated"]
     assert abs(b["trainable_pct"] - 100.0 * b["trainable"] / b["total"]) < 1e-9
+
+
+def test_create_model_perf_knobs():
+    """create_model plumbs the TPU perf knobs (remat/attn_impl/logits dtype)
+    into both model families' configs."""
+    from feddat_tpu.models import create_model
+
+    m, cfg = create_model(
+        "vilt", {"t": TaskHeadSpec(num_labels=4)}, PEFTMode.DAT,
+        remat=True, remat_policy="full", attn_impl="fused",
+        attention_logits_dtype="bfloat16",
+    )
+    assert cfg.remat and cfg.attention_logits_dtype == "bfloat16"
+    assert m.attn_impl == "fused"
+    m2, cfg2 = create_model(
+        "albef_no_distill", {}, PEFTMode.DAT,
+        remat=True, attention_logits_dtype="bfloat16",
+    )
+    assert cfg2.remat and cfg2.attention_logits_dtype == "bfloat16"
+    assert m2.attn_impl == "auto"
