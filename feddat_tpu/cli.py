@@ -376,8 +376,12 @@ def main(argv=None) -> int:
         logits_dtype = args.attention_logits_dtype or (
             "bfloat16" if args.dtype == "bfloat16" else "float32"
         )
+        # ViLT-family models must match the host pipeline's fixed canvas
+        # (ViltVQAPipeline default (384, 640): the reference's
+        # shorter-side-384 / longer<=640 resize envelope as one static shape)
         model, model_cfg = create_model(
             args.encoder_name, heads, mode, args.adapter_reduction_factor, args.dtype,
+            image_size=(384, 640) if args.encoder_name in ("vilt", "viltbert") else None,
             remat=args.remat, remat_policy=args.remat_policy,
             attn_impl=args.attn_impl, attention_logits_dtype=logits_dtype,
         )
@@ -395,8 +399,10 @@ def main(argv=None) -> int:
             from feddat_tpu.utils.checkpoint_convert import convert_hf_vilt, merge_pretrained
 
             sd = torch.load(args.pretrained_model_name, map_location="cpu")
+            grid = (model_cfg.image_size[0] // model_cfg.patch_size,
+                    model_cfg.image_size[1] // model_cfg.patch_size)
             pretrained = convert_hf_vilt(sd, num_layers=model_cfg.num_layers,
-                                         num_patches_new=model_cfg.num_patches)
+                                         num_patches_new=grid)
             params = merge_pretrained(params, {"vilt": pretrained})
         if args.encoder_name == "viltbert" and args.bert_model_path:
             import torch

@@ -52,22 +52,39 @@ def _stack(dicts) -> Dict[str, Any]:
     return traverse_util.unflatten_dict(out)
 
 
-def interpolate_pos_embed(pos: np.ndarray, num_patches_new: int) -> np.ndarray:
+def interpolate_pos_embed(pos: np.ndarray, num_patches_new) -> np.ndarray:
     """Bicubic grid resize of [1, 1+N, D] ViT position embeddings
-    (behavior of reference ``vit.py:193-217``)."""
+    (behavior of reference ``vit.py:193-217``).
+
+    ``num_patches_new``: an int (square target grid, ALBEF-style) or an
+    ``(gh, gw)`` tuple for non-square canvases (ViLT's 384x640 canvas is a
+    12x20 patch grid).  The source checkpoint grid is square (both ViLT and
+    ALBEF pretrain at square resolutions).
+    """
+    if isinstance(num_patches_new, (tuple, list)):
+        gh_new, gw_new = int(num_patches_new[0]), int(num_patches_new[1])
+    else:
+        g = int(round(int(num_patches_new) ** 0.5))
+        assert g * g == int(num_patches_new), (
+            f"square grid expected for int target ({num_patches_new}); "
+            "pass an (gh, gw) tuple for non-square canvases"
+        )
+        gh_new = gw_new = g
     n_old = pos.shape[1] - 1
-    if n_old == num_patches_new:
+    if n_old == gh_new * gw_new and gh_new == gw_new:
         return pos
     import torch
     import torch.nn.functional as F
 
     d = pos.shape[2]
     g_old = int(round(n_old**0.5))
-    g_new = int(round(num_patches_new**0.5))
+    assert g_old * g_old == n_old, f"non-square source grid ({n_old} patches)"
+    if (g_old, g_old) == (gh_new, gw_new):
+        return pos
     extra, grid = pos[:, :1], pos[:, 1:]
     grid = torch.tensor(grid).reshape(1, g_old, g_old, d).permute(0, 3, 1, 2)
-    grid = F.interpolate(grid, size=(g_new, g_new), mode="bicubic", align_corners=False)
-    grid = grid.permute(0, 2, 3, 1).reshape(1, g_new * g_new, d).numpy()
+    grid = F.interpolate(grid, size=(gh_new, gw_new), mode="bicubic", align_corners=False)
+    grid = grid.permute(0, 2, 3, 1).reshape(1, gh_new * gw_new, d).numpy()
     return np.concatenate([extra, grid], axis=1)
 
 

@@ -136,3 +136,16 @@ def test_interpolate_pos_embed_identity_and_resize():
     up = interpolate_pos_embed(pos, 64)
     assert up.shape == (1, 65, 8)
     np.testing.assert_array_equal(up[:, 0], pos[:, 0])  # CLS slot untouched
+
+
+def test_interpolate_pos_embed_non_square():
+    """ViLT's (384, 640) canvas is a 12x20 patch grid; the converter must
+    resize square checkpoint grids onto non-square targets (regression:
+    full-size CLI runs crashed on pos-embed shape mismatch)."""
+    rng = np.random.RandomState(0)
+    pos = rng.randn(1, 1 + 144, 8).astype(np.float32)  # 12x12 source
+    out = interpolate_pos_embed(pos, (12, 20))
+    assert out.shape == (1, 1 + 240, 8)
+    np.testing.assert_array_equal(out[:, 0], pos[:, 0])  # CLS slot untouched
+    with np.testing.assert_raises(AssertionError):
+        interpolate_pos_embed(pos, 240)  # non-square int target rejected
