@@ -82,11 +82,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient checkpointing (required for large batches on TPU; "
                         "full-layer remat at per-pass B=64 is the measured v5e optimum)")
     p.add_argument("--remat_policy", default="full",
-                   choices=["full", "dots", "attention", "names", "min_save"],
-                   help="remat granularity (PERF.md documents the measured trade-offs)")
-    p.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "fused", "flash"],
+                   choices=["full", "dots", "attention", "names", "min_save",
+                            "block_save", "block_save_nox", "block_save_ffn"],
+                   help="remat granularity (PERF.md documents the measured trade-offs; "
+                        "block_save_nox pairs with --attn_impl block: +8%% on v5e)")
+    p.add_argument("--attn_impl", default="auto",
+                   choices=["auto", "xla", "fused", "flash", "block"],
                    help="attention kernel: auto/xla (XLA fused), fused (Pallas "
-                        "short-seq), flash (Pallas long-seq)")
+                        "short-seq), flash (Pallas long-seq), block (Pallas "
+                        "whole-attention-block incl. frozen q/k/v/out projections "
+                        "— DAT/adapter/prompt modes only, see ops/attn_block.py)")
     p.add_argument("--attention_logits_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="storage dtype of attention logits; default float32 "
@@ -270,6 +275,14 @@ def main(argv=None) -> int:
 
     task_keys = resolve_task_keys(args.ordered_cl_tasks)
     mode = PEFTMode(args.optimizer_mode)
+    if args.attn_impl == "block" and mode in (
+        PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA, PEFTMode.FREEZE_BOTTOM_K
+    ):
+        raise SystemExit(
+            "--attn_impl block assumes frozen attention projections; "
+            f"--optimizer_mode {mode.value} trains them (its gradients would "
+            "silently be zero).  Use --attn_impl auto for this mode."
+        )
     config = TrainConfig(
         encoder_name=args.encoder_name,
         peft_mode=mode,

@@ -122,6 +122,13 @@ class ViltModelConfig:
     # parity) or "bfloat16" (+14% DAT throughput on v5e; softmax still
     # accumulates fp32).
     attention_logits_dtype: str = "float32"
+    # lax.scan unroll factor for the layer stack: >1 lets XLA fuse/schedule
+    # across layer boundaries at the cost of a bigger program.
+    scan_unroll: int = 1
+    # Compute q/k/v with ONE [d, 3d] matmul (kernels concatenated at apply
+    # time; the param tree is unchanged).  Fewer, larger MXU calls and one
+    # read of the layer input instead of three.
+    fuse_qkv: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -173,6 +180,10 @@ class AlbefModelConfig:
     lora: LoraSpec = LoraSpec()
     prompt: PromptSpec = PromptSpec()
     remat: bool = False
+    # Remat policy for the ViT tower (the FLOP-dominant stack): "full", or
+    # "block_save_nox" to pair with the attn-block kernel (see
+    # ViltModelConfig.remat_policy / ops/attn_block.py).
+    remat_policy: str = "full"
     # Storage dtype of attention logits/cotangents (see ViltModelConfig):
     # "bfloat16" halves the dominant HBM traffic of the attention backward
     # (+14%% measured on ViLT; same trick, same fp32 softmax accumulation).

@@ -77,9 +77,14 @@ class AlbefModel(nn.Module):
     cfg: AlbefModelConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # Attention impl for the ViT only (S=577 patch tokens; e.g. "flash"),
+    # while the short text/fusion towers keep ``attn_impl``.  None = same.
+    vision_attn_impl: str | None = None
 
     def setup(self):
-        self.visual_encoder = VisionTransformer(self.cfg, self.dtype, self.attn_impl)
+        self.visual_encoder = VisionTransformer(
+            self.cfg, self.dtype, self.vision_attn_impl or self.attn_impl
+        )
         logits_dtype = jnp.dtype(self.cfg.attention_logits_dtype)
         self.text_encoder = XBertModel(
             self.cfg.bert,

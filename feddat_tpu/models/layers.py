@@ -67,6 +67,47 @@ class LoraDense(nn.Module):
         return y
 
 
+class _DenseParams(nn.Module):
+    """Declares the params of an ``nn.Dense`` (same names/shapes/inits)
+    WITHOUT computing it, so a parent can fuse several projections into one
+    matmul while the param tree stays byte-identical to the unfused path."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init, (in_features, self.features), jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _LoraDenseParams(nn.Module):
+    """Param-declaration twin of :class:`LoraDense` (dense + lora_a/lora_b)."""
+
+    features: int
+    lora: LoraSpec
+    kernel_init: nn.initializers.Initializer = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel, bias = _DenseParams(self.features, True, self.kernel_init, name="dense")(in_features)
+        la = lb = None
+        if self.lora.enabled:
+            la, _ = _DenseParams(
+                self.lora.rank, False, nn.initializers.he_uniform(), name="lora_a"
+            )(in_features)
+            lb, _ = _DenseParams(
+                self.features, False, nn.initializers.zeros, name="lora_b"
+            )(self.lora.rank)
+        return kernel, bias, la, lb
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention with separate q/k/v/out projections.
 
@@ -84,6 +125,9 @@ class MultiHeadAttention(nn.Module):
     # storage dtype of the attention logits (fp32 = reference parity;
     # bf16 = +14% DAT throughput, see ops/attention.py)
     logits_dtype: jnp.dtype = jnp.float32
+    # Self-attention only: compute q/k/v as ONE [d, 3d] matmul (kernels
+    # concatenated at apply time; param tree unchanged — see _DenseParams).
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -93,14 +137,66 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        is_self = kv is None
         if kv is None:
             kv = x
         d_head = self.hidden_size // self.num_heads
         init = nn.initializers.normal(stddev=0.02)
 
-        q = LoraDense(self.hidden_size, self.lora, self.dtype, init, name="query")(x)
-        k = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="key")(kv)
-        v = LoraDense(self.hidden_size, self.lora, self.dtype, init, name="value")(kv)
+        # Whole-attention-block Pallas kernel (frozen projections; see
+        # ops/attn_block.py).  Only self-attention with a padding-row bias
+        # (or none) qualifies; causal/cross-attention sites (ALBEF decoder,
+        # xBERT fusion) fall back to the composable path below.
+        use_block = (
+            self.attn_impl == "block"
+            and is_self
+            and (bias is None or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1))
+            and not self.lora.enabled
+            and not (self.dropout_rate > 0.0 and not deterministic)
+        )
+        if use_block:
+            import jax as _jax
+
+            from feddat_tpu.ops.attn_block import attn_block
+
+            in_f = x.shape[-1]
+            wq, bq, _, _ = _LoraDenseParams(self.hidden_size, self.lora, init, name="query")(in_f)
+            wk, bk = _DenseParams(self.hidden_size, True, init, name="key")(in_f)
+            wv, bv, _, _ = _LoraDenseParams(self.hidden_size, self.lora, init, name="value")(in_f)
+            wo, bo = _DenseParams(self.hidden_size, True, init, name="out")(self.hidden_size)
+            bqkv = jnp.stack([bq, bk, bv]).astype(jnp.float32)
+            out = attn_block(
+                x.astype(self.dtype),
+                wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype),
+                wo.astype(self.dtype),
+                bqkv, bo.astype(jnp.float32)[None, :], bias,
+                self.num_heads, d_head ** -0.5, 2,
+                _jax.default_backend() == "cpu",
+            )
+            from jax.ad_checkpoint import checkpoint_name
+
+            return checkpoint_name(out, "attn_out")
+
+        if self.fuse_qkv and is_self:
+            in_f = x.shape[-1]
+            wq, bq, laq, lbq = _LoraDenseParams(self.hidden_size, self.lora, init, name="query")(in_f)
+            wk, bk = _DenseParams(self.hidden_size, True, init, name="key")(in_f)
+            wv, bv, lav, lbv = _LoraDenseParams(self.hidden_size, self.lora, init, name="value")(in_f)
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            b3 = jnp.concatenate([bq, bk, bv], axis=0).astype(self.dtype)
+            qkv = x.astype(self.dtype) @ w + b3
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if self.lora.enabled:
+                scale_l = self.lora.alpha / self.lora.rank
+                la = jnp.concatenate([laq, lav], axis=1).astype(self.dtype)
+                low = x.astype(self.dtype) @ la
+                low_q, low_v = jnp.split(low, 2, axis=-1)
+                q = q + (low_q @ lbq.astype(self.dtype)) * scale_l
+                v = v + (low_v @ lbv.astype(self.dtype)) * scale_l
+        else:
+            q = LoraDense(self.hidden_size, self.lora, self.dtype, init, name="query")(x)
+            k = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="key")(kv)
+            v = LoraDense(self.hidden_size, self.lora, self.dtype, init, name="value")(kv)
 
         def split(t):
             b, s, _ = t.shape
@@ -193,6 +289,8 @@ class PreLNLayer(nn.Module):
     # of the "minimal-save" policy: no layer remat + Pallas attention (no
     # stored probs) + checkpointed LNs.
     remat_ln: bool = False
+    # One [d, 3d] q/k/v matmul (see MultiHeadAttention.fuse_qkv).
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -211,6 +309,7 @@ class PreLNLayer(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             logits_dtype=self.logits_dtype,
+            fuse_qkv=self.fuse_qkv,
             name="attention",
         )
         ln_before = nn.LayerNorm(

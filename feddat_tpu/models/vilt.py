@@ -231,6 +231,7 @@ class ViltEncoder(nn.Module):
             logits_dtype=jnp.dtype(c.attention_logits_dtype),
             remat_attention=(c.remat and c.remat_policy == "attention"),
             remat_ln=(c.remat and c.remat_policy == "min_save"),
+            fuse_qkv=getattr(c, "fuse_qkv", False),
         )
 
         class _LayerBody(nn.Module):
@@ -245,6 +246,26 @@ class ViltEncoder(nn.Module):
 
                     if c.remat_policy == "dots":
                         policy = _jax.checkpoint_policies.dots_saveable
+                    elif c.remat_policy == "block_save":
+                        # attn_impl='block' companion: store the attention
+                        # kernel's output + vjp residuals so the backward
+                        # scan re-runs only the cheap LN/FFN/adapter parts,
+                        # never the attention forward kernel
+                        policy = _jax.checkpoint_policies.save_only_these_names(
+                            "attn_x", "attn_ctx", "attn_lse", "attn_out"
+                        )
+                    elif c.remat_policy == "block_save_nox":
+                        # block_save minus the stored kernel input: the
+                        # backward re-runs LN1 (cheap VPU) to rebuild it
+                        policy = _jax.checkpoint_policies.save_only_these_names(
+                            "attn_ctx", "attn_lse", "attn_out"
+                        )
+                    elif c.remat_policy == "block_save_ffn":
+                        # block_save + stored FFN pre-activation (skip the
+                        # [*, 4d] matmul recompute too)
+                        policy = _jax.checkpoint_policies.save_only_these_names(
+                            "attn_x", "attn_ctx", "attn_lse", "attn_out", "ffn_preact"
+                        )
                     elif c.remat_policy == "names":
                         # selective remat: store exactly the cheap-to-store /
                         # expensive-to-recompute bf16 tensors (tagged in
@@ -269,6 +290,7 @@ class ViltEncoder(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast),
             length=c.num_layers,
+            unroll=getattr(c, "scan_unroll", 1),
         )
         x, _ = Layers(name="layers")(x, bias, adapter_weights)
 

@@ -60,14 +60,27 @@ class VisionTransformer(nn.Module):
         )
 
         use_remat = c.remat
+        remat_policy = getattr(c, "remat_policy", "full")
 
         class _Body(nn.Module):
             @nn.compact
             def __call__(self, carry, _):
                 block = PreLNLayer(**layer_kwargs, name="block")
                 if use_remat:
+                    import jax as _jax
+
+                    policy = None
+                    if remat_policy in ("block_save", "block_save_nox"):
+                        # companion policy of attn_impl='block': store the
+                        # attention kernel's residuals, recompute only the
+                        # LN/FFN/adapter part in the backward (PERF.md)
+                        names = ("attn_ctx", "attn_lse", "attn_out")
+                        if remat_policy == "block_save":
+                            names = ("attn_x",) + names
+                        policy = _jax.checkpoint_policies.save_only_these_names(*names)
                     out = nn.remat(
-                        lambda mdl, h: mdl(h, None, adapter_mode, deterministic)
+                        lambda mdl, h: mdl(h, None, adapter_mode, deterministic),
+                        policy=policy,
                     )(block, carry)
                 else:
                     out = block(carry, None, adapter_mode, deterministic)

@@ -84,15 +84,16 @@ def dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if impl in ("auto", "xla"):
+    if impl in ("auto", "xla", "block"):
         # Multimodal VQA sequences are short (<= ~620 tokens); the fused-XLA
         # path saturates the MXU there.  "flash" switches to the Pallas
-        # kernel (long-sequence path).
-        if impl == "auto" or impl == "xla":
-            return _xla_attention(
-                q, k, v, bias, scale=scale, dropout_rate=dropout_rate,
-                dropout_rng=dropout_rng, logits_dtype=logits_dtype,
-            )
+        # kernel (long-sequence path).  "block" is handled at the layer
+        # level (ops/attn_block.py fuses the projections too); reaching here
+        # means a non-self-attention call site, which falls back to XLA.
+        return _xla_attention(
+            q, k, v, bias, scale=scale, dropout_rate=dropout_rate,
+            dropout_rng=dropout_rng, logits_dtype=logits_dtype,
+        )
     if impl == "flash":
         import jax as _jax
 

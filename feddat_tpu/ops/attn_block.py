@@ -1,0 +1,276 @@
+"""Pallas fused ATTENTION BLOCK for short sequences (frozen projections).
+
+One kernel computes the whole pre-LN attention block of a transformer layer:
+
+    q/k/v = x @ W_{q,k,v} + b     (three MXU dots, bf16 in / fp32 accum)
+    ctx   = softmax(q k^T * scale + bias) v      (per-head, whole-S in VMEM)
+    out   = ctx @ W_out + b_out
+
+for the PEFT regime where the projection weights are FROZEN (FedDAT's
+DAT/adapter/prompt/norm modes — reference ``src/train/main.py:132-245``
+freezes the backbone in all of them): the backward returns d x only and
+**zero** cotangents for the weights.  Do NOT route ``full``/``bias``/
+``lora``/``freeze_bottom_k`` modes through this kernel — their optimizers
+would silently see zero gradients for the projection params.
+
+Why this kernel exists: under full-layer remat XLA runs the attention
+region as many small fusions with [B,S,H,D]<->[B,H,S,D] relayouts between
+them; measured at ~74 TFLOP/s vs 111 for the FFN pair (PERF.md).  Fusing
+the projections into the same Pallas call as the softmax keeps every
+intermediate in VMEM, removes the transposes entirely (the head split is a
+lane-slice of the [S, H*D] projection output), and turns the region into
+exactly two kernel launches (fwd, bwd) per layer per pass.
+
+Numerics match the XLA path with ``attention_logits_dtype=bfloat16``:
+bf16 dot inputs, fp32 accumulation, fp32 softmax, bf16 probs into the PV
+dot.  No attention dropout (ViLT's default is 0.0).
+
+Shapes: x [B, S, Dm]; weights [Dm, Dm]; bias row [B, S] additive padding
+mask (-1e4 on masked keys).  S is padded to a multiple of 16 internally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref, bo_ref,
+                bias_ref, out_ref, ctx_ref, lse_ref, *, num_heads: int, scale: float):
+    nb, sp, dm = x_ref.shape
+    d = dm // num_heads
+    for i in range(nb):
+        x = x_ref[i]  # [SP, Dm] bf16
+        q = jax.lax.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+        k = jax.lax.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+        v = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+        bqkv = bqkv_ref[...]  # [3, Dm] f32
+        q = (q + bqkv[0][None, :]).astype(x.dtype)
+        k = (k + bqkv[1][None, :]).astype(x.dtype)
+        v = (v + bqkv[2][None, :]).astype(x.dtype)
+        brow = bias_ref[i, 0].astype(jnp.float32)  # [SP]
+        ctx_parts = []
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [SP, SP]
+            s = s * scale + brow[None, :]
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            ch = jax.lax.dot(
+                p.astype(x.dtype), vh, preferred_element_type=jnp.float32
+            )
+            ctx_parts.append((ch / l).astype(x.dtype))
+            lse_ref[i, h] = (m + jnp.log(l))[:, 0]
+        ctx = jnp.concatenate(ctx_parts, axis=1)  # [SP, Dm]
+        ctx_ref[i] = ctx
+        o = jax.lax.dot(ctx, wo_ref[...], preferred_element_type=jnp.float32)
+        out_ref[i] = (o + bo_ref[...][0][None, :]).astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
+                bias_ref, ctx_ref, lse_ref, g_ref, dx_ref,
+                *, num_heads: int, scale: float):
+    nb, sp, dm = x_ref.shape
+    d = dm // num_heads
+    for i in range(nb):
+        x = x_ref[i]
+        g = g_ref[i]  # [SP, Dm] bf16
+        # d ctx = g @ Wout^T
+        dctx = jax.lax.dot_general(
+            g, wo_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        # recompute q/k/v (flash-style: cheaper than storing them)
+        q = jax.lax.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+        k = jax.lax.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+        v = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+        bqkv = bqkv_ref[...]
+        q = (q + bqkv[0][None, :]).astype(x.dtype)
+        k = (k + bqkv[1][None, :]).astype(x.dtype)
+        v = (v + bqkv[2][None, :]).astype(x.dtype)
+        brow = bias_ref[i, 0].astype(jnp.float32)
+        ctx = ctx_ref[i]
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+            doh = dctx[:, sl]
+            oh = ctx[:, sl]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s * scale + brow[None, :]
+            p = jnp.exp(s - lse_ref[i, h][:, None])
+            pb = p.astype(x.dtype)
+            dv_parts.append(
+                jax.lax.dot_general(
+                    pb, doh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+            dp = jax.lax.dot_general(
+                doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            delta = jnp.sum(
+                doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=1, keepdims=True
+            )
+            ds = (p * (dp - delta)).astype(x.dtype)
+            dq_parts.append(
+                (jax.lax.dot(ds, kh, preferred_element_type=jnp.float32) * scale)
+                .astype(x.dtype)
+            )
+            dk_parts.append(
+                (
+                    jax.lax.dot_general(
+                        ds, qh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                ).astype(x.dtype)
+            )
+        dq = jnp.concatenate(dq_parts, axis=1)
+        dk = jnp.concatenate(dk_parts, axis=1)
+        dv = jnp.concatenate(dv_parts, axis=1)
+        # dx = dq Wq^T + dk Wk^T + dv Wv^T
+        nt = (((1,), (1,)), ((), ()))
+        dx = jax.lax.dot_general(dq, wq_ref[...], nt, preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dk, wk_ref[...], nt, preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dv, wv_ref[...], nt, preferred_element_type=jnp.float32)
+        dx_ref[i] = dx.astype(dx_ref.dtype)
+
+
+def _prep(x, bias, block_b: int):
+    """Pad S to a sublane multiple and B to a block multiple; compact bias."""
+    b, s, dm = x.shape
+    sp = _round_up(s, 16)
+    bp = _round_up(b, block_b)
+    if bias is None:
+        brow = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        assert bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1, (
+            "attn_block expects a [B, 1, 1, S] padding bias"
+        )
+        brow = bias.astype(jnp.float32).reshape(b, 1, s)
+    if sp != s:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+        brow = jnp.pad(brow, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))
+        brow = jnp.pad(brow, ((0, bp - b), (0, 0), (0, 0)), constant_values=NEG_INF)
+    return x, brow, b, s, sp, bp
+
+
+def _fwd_call(x, wq, wk, wv, wo, bqkv, bo, bias, num_heads, scale,
+              block_b, interpret):
+    xp, brow, b, s, sp, bp = _prep(x, bias, block_b)
+    dm = x.shape[-1]
+    grid = (bp // block_b,)
+    wspec = pl.BlockSpec((dm, dm), lambda i: (0, 0))
+    out, ctx, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
+            wspec, wspec, wspec, wspec,
+            pl.BlockSpec((3, dm), lambda i: (0, 0)),
+            pl.BlockSpec((1, dm), lambda i: (0, 0)),
+            pl.BlockSpec((block_b, 1, sp), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, num_heads, sp), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, sp, dm), x.dtype),
+            jax.ShapeDtypeStruct((bp, sp, dm), x.dtype),
+            jax.ShapeDtypeStruct((bp, num_heads, sp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xp, wq, wk, wv, wo, bqkv, bo, brow)
+    return out[:b, :s], (xp, brow, ctx, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def attn_block(x, wq, wk, wv, wo, bqkv, bo, bias,
+               num_heads: int, scale: Optional[float] = None,
+               block_b: int = 1, interpret: bool = False):
+    """Fused attention block (projections + MHA + out-projection).
+
+    FROZEN-projection backward: returns d x only; the weight/bias
+    cotangents are zero (see module docstring).  ``bqkv`` is [3, Dm]
+    (q/k/v biases stacked), ``bo`` is [1, Dm].
+    """
+    if scale is None:
+        scale = (x.shape[-1] // num_heads) ** -0.5
+    return _fwd_call(x, wq, wk, wv, wo, bqkv, bo, bias, num_heads, scale,
+                     block_b, interpret)[0]
+
+
+def _attn_block_fwd(x, wq, wk, wv, wo, bqkv, bo, bias,
+                    num_heads, scale, block_b, interpret):
+    if scale is None:
+        scale = (x.shape[-1] // num_heads) ** -0.5
+    out, (xp, brow, ctx, lse) = _fwd_call(
+        x, wq, wk, wv, wo, bqkv, bo, bias, num_heads, scale, block_b, interpret
+    )
+    # Tag the residuals so a selective-remat policy (remat_policy
+    # "block_save": save_only_these_names('attn_x','attn_ctx','attn_lse',
+    # 'attn_out')) can store them and skip re-running the forward kernel in
+    # the backward scan.
+    from jax.ad_checkpoint import checkpoint_name
+
+    xp = checkpoint_name(xp, "attn_x")
+    ctx = checkpoint_name(ctx, "attn_ctx")
+    lse = checkpoint_name(lse, "attn_lse")
+    return out, (xp, brow, ctx, lse, wq, wk, wv, wo, bqkv, bo, bias, x.shape)
+
+
+def _attn_block_bwd(num_heads, scale, block_b, interpret, res, g):
+    xp, brow, ctx, lse, wq, wk, wv, wo, bqkv, bo, bias, xshape = res
+    b, s, dm = xshape
+    if scale is None:
+        scale = (dm // num_heads) ** -0.5
+    bp, sp, _ = xp.shape
+    gp = g
+    if (sp != s) or (bp != b):
+        gp = jnp.pad(g, ((0, bp - b), (0, sp - s), (0, 0)))
+    grid = (bp // block_b,)
+    wspec = pl.BlockSpec((dm, dm), lambda i: (0, 0))
+    dx = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
+            wspec, wspec, wspec, wspec,
+            pl.BlockSpec((3, dm), lambda i: (0, 0)),
+            pl.BlockSpec((block_b, 1, sp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, num_heads, sp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, sp, dm), g.dtype),
+        interpret=interpret,
+    )(xp, wq, wk, wv, wo, bqkv, brow, ctx, lse, gp)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, (wq, wk, wv, wo, bqkv, bo))
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return (dx[:b, :s], *zeros, dbias)
+
+
+attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)

@@ -36,9 +36,13 @@ _PT_DO = (((1,), (1,)), ((0,), (0,)))  # p [H,Sq,Sk] x do [H,Sq,D] -> [H,Sk,D]
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [H, S, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # keep the dot INPUTS in bf16 (native MXU rate) and accumulate fp32 —
+    # upcasting the operands first would force fp32 MXU passes at a
+    # fraction of the bf16 throughput, exactly like XLA's
+    # ``preferred_element_type`` contract
+    q = q_ref[0]  # [H, S, D]
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(q, k, _QK, preferred_element_type=jnp.float32)
     # bias is the compact [1, 1, S] padding-mask row of THIS batch element,
     # broadcast over (heads, queries) ON-CHIP (materializing [B, H, S, S]
@@ -47,28 +51,33 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale: float):
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=2, keepdims=True)
-    o = jax.lax.dot_general(p, v, _PV, preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, _PV, preferred_element_type=jnp.float32
+    )
     o_ref[0] = (o / l).astype(o_ref.dtype)
     lse_ref[0] = (m + jnp.log(l))[:, :, 0]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # bf16 dot inputs + fp32 accumulation (see _fwd_kernel)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][:, :, None]  # [H, S, 1]
 
     s = jax.lax.dot_general(q, k, _QK, preferred_element_type=jnp.float32)
     s = s * scale + bias_ref[0].astype(jnp.float32)[None, :, :]
     p = jnp.exp(s - lse)
+    pb = p.astype(v.dtype)
 
-    dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(pb, do, _PT_DO, preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, _QK, preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=2, keepdims=True)
-    ds = p * (dp - delta)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32), axis=2, keepdims=True
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
     dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
     dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32) * scale
 

@@ -10,7 +10,8 @@ import time
 import numpy as np
 
 
-def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="full"):
+def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="full",
+          scan_unroll=1, fuse_qkv=False):
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +31,8 @@ def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="
         remat=remat,
         remat_policy=remat_policy,
         attention_logits_dtype=logits_dtype,
+        scan_unroll=scan_unroll,
+        fuse_qkv=fuse_qkv,
     )
     model = ViltContinualLearner(
         cfg, {"fed": TaskHeadSpec(num_labels=100)}, dtype=jnp.bfloat16, attn_impl=attn_impl
@@ -100,8 +103,10 @@ def measure(spec):
         int(parts[0]), bool(int(parts[1])), parts[2], parts[3], int(parts[4])
     )
     policy = parts[5] if len(parts) > 5 else "full"
+    unroll = int(parts[6]) if len(parts) > 6 else 1
+    fqkv = bool(int(parts[7])) if len(parts) > 7 else False
     try:
-        step, state, batch = build(B, remat, attn, ldt, fused, policy)
+        step, state, batch = build(B, remat, attn, ldt, fused, policy, unroll, fqkv)
         batch = jax.device_put(batch)
         for _ in range(3):
             state, m = step(state, batch)

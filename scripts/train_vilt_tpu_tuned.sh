@@ -1,9 +1,11 @@
 #!/usr/bin/env bash
 # The TPU-tuned ViLT launch (PERF.md's measured-optimal configuration):
-# batch 64 per pass, bf16 compute + bf16 attention-logit storage, full-layer
-# remat, fused DAT step, all clients as one SPMD program over the
-# (client, data) mesh.  Same training semantics as scripts/train_vilt.sh
-# (fused step exact with encoder dropout off, ViLT's default).
+# batch 48 per pass, bf16 compute, the Pallas attention-block kernel
+# (--attn_impl block) with the block_save_nox remat policy (the backward
+# re-runs only LN/FFN, never the attention forward), fused DAT step, all
+# clients as one SPMD program over the (client, data) mesh.  Same training
+# semantics as scripts/train_vilt.sh (fused step exact with encoder dropout
+# off, ViLT's default).
 set -euo pipefail
 python -m feddat_tpu.cli \
   --encoder_name vilt \
@@ -12,8 +14,8 @@ python -m feddat_tpu.cli \
   --climb_data_dir "${DATA_DIR:-./data}" \
   --output_dir ./logs \
   --do_train \
-  --batch_size 64 \
-  --val_batch_size 64 \
+  --batch_size 48 \
+  --val_batch_size 48 \
   --lr 1e-4 \
   --comm_rounds 30 \
   --local_epochs 1 \
@@ -25,5 +27,7 @@ python -m feddat_tpu.cli \
   --engine spmd \
   --dtype bfloat16 \
   --remat \
+  --remat_policy block_save_nox \
+  --attn_impl block \
   --use_fused_dat \
   "$@"

@@ -110,3 +110,153 @@ def test_fused_short_attention_grads_match_xla():
     gx = jax.grad(lambda q, k, v: jnp.sum(dot_product_attention(q, k, v, bias, impl="xla") ** 2), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+# ---- attention-block kernel (ops/attn_block.py) ---------------------------
+
+
+def _block_inputs(rng, b=3, s=21, dm=32, h=4):
+    x = jnp.asarray(rng.randn(b, s, dm) * 0.5, jnp.float32)
+    ws = [jnp.asarray(rng.randn(dm, dm) * 0.05, jnp.float32) for _ in range(4)]
+    bqkv = jnp.asarray(rng.randn(3, dm) * 0.02, jnp.float32)
+    bo = jnp.asarray(rng.randn(1, dm) * 0.02, jnp.float32)
+    mask = jnp.asarray((rng.rand(b, s) > 0.25).astype(np.int32))
+    bias = mask_to_bias(mask)
+    return x, ws, bqkv, bo, bias
+
+
+def _block_reference(x, ws, bqkv, bo, bias, h):
+    wq, wk, wv, wo = ws
+    b, s, dm = x.shape
+    d = dm // h
+
+    def split(t):
+        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    q = split(x @ wq + bqkv[0])
+    k = split(x @ wk + bqkv[1])
+    v = split(x @ wv + bqkv[2])
+    ctx = dot_product_attention(q, k, v, bias, impl="xla")
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, dm)
+    return ctx @ wo + bo[0]
+
+
+def test_attn_block_matches_composed_reference():
+    from feddat_tpu.ops.attn_block import attn_block
+
+    rng = np.random.RandomState(11)
+    x, ws, bqkv, bo, bias = _block_inputs(rng)
+    ref = _block_reference(x, ws, bqkv, bo, bias, 4)
+    out = attn_block(x, *ws, bqkv, bo, bias, 4, None, 1, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    # multi-element grid blocks with batch padding (b=3, block_b=2 -> pad 4)
+    out2 = attn_block(x, *ws, bqkv, bo, bias, 4, None, 2, True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_attn_block_input_grads_match_reference():
+    from feddat_tpu.ops.attn_block import attn_block
+
+    rng = np.random.RandomState(12)
+    x, ws, bqkv, bo, bias = _block_inputs(rng, b=2, s=13)
+
+    gk = jax.grad(lambda x: jnp.sum(attn_block(x, *ws, bqkv, bo, bias, 4, None, 1, True) ** 2))(x)
+    gr = jax.grad(lambda x: jnp.sum(_block_reference(x, ws, bqkv, bo, bias, 4) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
+
+
+def test_attn_block_weight_grads_are_zero_by_contract():
+    """The frozen-projection contract: weight cotangents are exactly zero
+    (the kernel must never be routed to modes that train the projections —
+    guarded in cli.py and layers.py)."""
+    from feddat_tpu.ops.attn_block import attn_block
+
+    rng = np.random.RandomState(13)
+    x, ws, bqkv, bo, bias = _block_inputs(rng, b=1, s=9)
+    g = jax.grad(
+        lambda wq: jnp.sum(attn_block(x, wq, ws[1], ws[2], ws[3], bqkv, bo, bias, 4, None, 1, True))
+    )(ws[0])
+    assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_vilt_block_impl_matches_auto_end_to_end():
+    """ViLT forward + DAT-trainable grads: attn_impl='block' vs 'auto' on the
+    same params (the param tree is identical by construction)."""
+    from feddat_tpu.configs.core import AdapterSpec, ViltModelConfig
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+    from feddat_tpu.peft.partition import label_params
+    from flax import traverse_util
+
+    cfg = ViltModelConfig(
+        vocab_size=500, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_text_len=12, image_size=(64, 64), patch_size=32,
+        adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
+    )
+    m0 = ViltContinualLearner(cfg, {"fed": TaskHeadSpec(num_labels=7)})
+    mb = ViltContinualLearner(cfg, {"fed": TaskHeadSpec(num_labels=7)}, attn_impl="block")
+    rng = np.random.RandomState(14)
+    batch = {
+        "input_ids": rng.randint(1, 500, size=(2, 12)).astype(np.int32),
+        "attention_mask": np.concatenate(
+            [np.ones((2, 8), np.int32), np.zeros((2, 4), np.int32)], axis=1
+        ),
+        "pixel_values": rng.randn(2, 64, 64, 3).astype(np.float32),
+    }
+    params = init_vilt_params(m0, jax.random.PRNGKey(0), batch)
+
+    _, l0 = m0.apply({"params": params}, "fed", batch, adapter_mode="ensemble", deterministic=True)
+    _, lb = mb.apply({"params": params}, "fed", batch, adapter_mode="ensemble", deterministic=True)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(l0), rtol=1e-4, atol=1e-5)
+
+    labels = label_params(params)
+    flat = traverse_util.flatten_dict(params)
+    flabels = traverse_util.flatten_dict(labels)
+    sub = {k: flat[k] for k, l in flabels.items() if l in ("shared", "local")}
+
+    def loss(model, s):
+        full = dict(flat)
+        full.update(s)
+        _, lg = model.apply(
+            {"params": traverse_util.unflatten_dict(full)}, "fed", batch,
+            adapter_mode="ensemble", deterministic=True,
+        )
+        return jnp.sum(lg ** 2)
+
+    g0 = jax.grad(lambda s: loss(m0, s))(sub)
+    gb = jax.grad(lambda s: loss(mb, s))(sub)
+    for k in sub:
+        np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(g0[k]), rtol=1e-3, atol=1e-5)
+
+
+def test_albef_vision_block_impl_matches_auto():
+    """ALBEF ViT tower with attn_impl='block' (vision only): encode_train
+    losses match the composable path on the same params."""
+    from feddat_tpu.configs.core import AdapterSpec, AlbefBertConfig, AlbefModelConfig
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+
+    cfg = AlbefModelConfig(
+        image_res=64, patch_size=32, vision_width=32, vision_layers=2, vision_heads=4,
+        bert=AlbefBertConfig(vocab_size=200, hidden_size=32, num_layers=4, num_heads=4,
+                             intermediate_size=64, fusion_layer=2),
+        decoder_layers=2, max_question_len=8, max_answer_len=6,
+        adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
+    )
+    m0 = AlbefModel(cfg)
+    mb = AlbefModel(cfg, vision_attn_impl="block")
+    rng = np.random.RandomState(21)
+    B, A, Lq, La, V = 2, 3, 8, 6, 200
+    batch = {
+        "pixel_values": rng.randn(B, 64, 64, 3).astype(np.float32),
+        "question_ids": rng.randint(5, V, size=(B, Lq)).astype(np.int32),
+        "question_mask": np.ones((B, Lq), np.int32),
+        "answer_ids": rng.randint(5, V, size=(B, A, La)).astype(np.int32),
+        "answer_mask": np.ones((B, A, La), np.int32),
+        "answer_weights": np.full((B, A), 1.0 / A, np.float32),
+    }
+    p = init_albef_params(m0, jax.random.PRNGKey(0), batch)
+    l0 = m0.apply({"params": p}, batch, adapter_mode="ensemble", deterministic=True,
+                  method=type(m0).encode_train)
+    lb = mb.apply({"params": p}, batch, adapter_mode="ensemble", deterministic=True,
+                  method=type(mb).encode_train)
+    for a, b in zip(jax.tree_util.tree_leaves(l0), jax.tree_util.tree_leaves(lb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
