@@ -167,9 +167,12 @@ def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
+        # Tuned bf16 config: the attn-block Pallas kernel on the ViT tower
+        # (S=577) + block_save_nox remat — 82 -> 105 samples/s (PERF.md).
         cfg = AlbefModelConfig(
             adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
             remat=True,
+            remat_policy="block_save_nox" if dtype == "bfloat16" else "full",
             attention_logits_dtype="bfloat16" if dtype == "bfloat16" else "float32",
         )
     else:  # CPU smoke-scale
@@ -181,7 +184,10 @@ def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4):
             adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
         )
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    model = AlbefModel(cfg, dtype=jdtype)
+    model = AlbefModel(
+        cfg, dtype=jdtype,
+        vision_attn_impl="block" if (on_tpu and dtype == "bfloat16") else None,
+    )
     rng = np.random.RandomState(0)
     B, A, Lq, La = batch_size, answers_per_q, cfg.max_question_len, cfg.max_answer_len
     V = cfg.bert.vocab_size

@@ -77,9 +77,16 @@ def create_model(
             lora=lora,
             prompt=prompt,
             remat=remat,
+            remat_policy=remat_policy,
             attention_logits_dtype=attention_logits_dtype,
             distill=(encoder_name == "albef_distill"),
         )
+        # 'block' on ALBEF targets the ViT tower (S=577, the FLOP-dominant
+        # stack); the text/fusion/decoder towers keep the XLA path (their
+        # training dropout and causal/cross biases fall back anyway).
+        if attn_impl == "block":
+            return AlbefModel(cfg, dtype=jdtype, attn_impl="auto",
+                              vision_attn_impl="block"), cfg
         return AlbefModel(cfg, dtype=jdtype, attn_impl=attn_impl), cfg
 
     raise ValueError(

@@ -165,12 +165,17 @@ class MultiHeadAttention(nn.Module):
             wv, bv, _, _ = _LoraDenseParams(self.hidden_size, self.lora, init, name="value")(in_f)
             wo, bo = _DenseParams(self.hidden_size, True, init, name="out")(self.hidden_size)
             bqkv = jnp.stack([bq, bk, bv]).astype(jnp.float32)
+            # 2 batch elements per grid step amortize the weight DMA at short
+            # S (471 vs 469 samples/s on ViLT, PERF.md); at long S (ALBEF's
+            # ViT, S=577) the doubled VMEM working set stalls the Mosaic
+            # compiler — drop to 1.
+            block_b = 2 if x.shape[1] <= 256 else 1
             out = attn_block(
                 x.astype(self.dtype),
                 wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype),
                 wo.astype(self.dtype),
                 bqkv, bo.astype(jnp.float32)[None, :], bias,
-                self.num_heads, d_head ** -0.5, 2,
+                self.num_heads, d_head ** -0.5, block_b,
                 _jax.default_backend() == "cpu",
             )
             from jax.ad_checkpoint import checkpoint_name

@@ -60,7 +60,9 @@ def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref, bo_ref,
         k = (k + bqkv[1][None, :]).astype(x.dtype)
         v = (v + bqkv[2][None, :]).astype(x.dtype)
         brow = bias_ref[i, 0].astype(jnp.float32)  # [SP]
-        ctx_parts = []
+        # per-head results are written straight into the ctx output block
+        # (VMEM) — no concat, so peak VMEM stays ~one [SP, SP] tile per head
+        # even at S=577 (ALBEF's ViT)
         for h in range(num_heads):
             sl = slice(h * d, (h + 1) * d)
             qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
@@ -74,17 +76,16 @@ def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref, bo_ref,
             ch = jax.lax.dot(
                 p.astype(x.dtype), vh, preferred_element_type=jnp.float32
             )
-            ctx_parts.append((ch / l).astype(x.dtype))
+            ctx_ref[i, :, sl] = (ch / l).astype(x.dtype)
             lse_ref[i, h] = (m + jnp.log(l))[:, 0]
-        ctx = jnp.concatenate(ctx_parts, axis=1)  # [SP, Dm]
-        ctx_ref[i] = ctx
+        ctx = ctx_ref[i]
         o = jax.lax.dot(ctx, wo_ref[...], preferred_element_type=jnp.float32)
         out_ref[i] = (o + bo_ref[...][0][None, :]).astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
                 bias_ref, ctx_ref, lse_ref, g_ref, dx_ref,
-                *, num_heads: int, scale: float):
+                dq_s, dk_s, dv_s, *, num_heads: int, scale: float):
     nb, sp, dm = x_ref.shape
     d = dm // num_heads
     for i in range(nb):
@@ -105,7 +106,7 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
         v = (v + bqkv[2][None, :]).astype(x.dtype)
         brow = bias_ref[i, 0].astype(jnp.float32)
         ctx = ctx_ref[i]
-        dq_parts, dk_parts, dv_parts = [], [], []
+        # per-head d q/k/v go into VMEM scratch slices (no concat — see fwd)
         for h in range(num_heads):
             sl = slice(h * d, (h + 1) * d)
             qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
@@ -117,12 +118,10 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
             s = s * scale + brow[None, :]
             p = jnp.exp(s - lse_ref[i, h][:, None])
             pb = p.astype(x.dtype)
-            dv_parts.append(
-                jax.lax.dot_general(
-                    pb, doh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
-            )
+            dv_s[:, sl] = jax.lax.dot_general(
+                pb, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
             dp = jax.lax.dot_general(
                 doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -130,27 +129,21 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
                 doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=1, keepdims=True
             )
             ds = (p * (dp - delta)).astype(x.dtype)
-            dq_parts.append(
-                (jax.lax.dot(ds, kh, preferred_element_type=jnp.float32) * scale)
-                .astype(x.dtype)
-            )
-            dk_parts.append(
-                (
-                    jax.lax.dot_general(
-                        ds, qh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    * scale
-                ).astype(x.dtype)
-            )
-        dq = jnp.concatenate(dq_parts, axis=1)
-        dk = jnp.concatenate(dk_parts, axis=1)
-        dv = jnp.concatenate(dv_parts, axis=1)
+            dq_s[:, sl] = (
+                jax.lax.dot(ds, kh, preferred_element_type=jnp.float32) * scale
+            ).astype(x.dtype)
+            dk_s[:, sl] = (
+                jax.lax.dot_general(
+                    ds, qh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            ).astype(x.dtype)
         # dx = dq Wq^T + dk Wk^T + dv Wv^T
         nt = (((1,), (1,)), ((), ()))
-        dx = jax.lax.dot_general(dq, wq_ref[...], nt, preferred_element_type=jnp.float32)
-        dx = dx + jax.lax.dot_general(dk, wk_ref[...], nt, preferred_element_type=jnp.float32)
-        dx = dx + jax.lax.dot_general(dv, wv_ref[...], nt, preferred_element_type=jnp.float32)
+        dx = jax.lax.dot_general(dq_s[...], wq_ref[...], nt, preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dk_s[...], wk_ref[...], nt, preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dv_s[...], wv_ref[...], nt, preferred_element_type=jnp.float32)
         dx_ref[i] = dx.astype(dx_ref.dtype)
 
 
@@ -266,6 +259,11 @@ def _attn_block_bwd(num_heads, scale, block_b, interpret, res, g):
         ],
         out_specs=pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bp, sp, dm), g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((sp, dm), g.dtype),
+            pltpu.VMEM((sp, dm), g.dtype),
+            pltpu.VMEM((sp, dm), g.dtype),
+        ],
         interpret=interpret,
     )(xp, wq, wk, wv, wo, bqkv, brow, ctx, lse, gp)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, (wq, wk, wv, wo, bqkv, bo))

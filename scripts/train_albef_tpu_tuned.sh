@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# The TPU-tuned ALBEF launch (PERF.md's measured-optimal configuration):
+# batch 16 per pass, bf16 compute, the Pallas attention-block kernel on the
+# ViT tower (--attn_impl block routes to vision_attn_impl for ALBEF) with
+# the block_save_nox remat policy, fused DAT step, SPMD engine.
+# 105 samples/s per v5e chip vs 82 for the round-1 config (PERF.md).
+set -euo pipefail
+python -m feddat_tpu.cli \
+  --encoder_name albef_no_distill \
+  --pretrained_model_name "${ALBEF_CHECKPOINT:-}" \
+  --vocab_file "${BERT_VOCAB:-}" \
+  --climb_data_dir "${DATA_DIR:-./data}" \
+  --output_dir ./logs \
+  --do_train \
+  --batch_size 16 \
+  --val_batch_size 16 \
+  --lr 1e-4 \
+  --optimizer_mode dat \
+  --seed 2 \
+  --adapter_reduction_factor 16 \
+  --adapter_config pfeiffer \
+  --splits train_small val test \
+  --ordered_cl_tasks domain \
+  --engine spmd \
+  --dtype bfloat16 \
+  --remat \
+  --remat_policy block_save_nox \
+  --attn_impl block \
+  --use_fused_dat \
+  "$@"

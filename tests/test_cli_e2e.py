@@ -541,3 +541,19 @@ def test_cli_albef_smoke_end_to_end(fake_task):
     histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
     history = json.load(open(out_dir / histories[0]))
     assert history and "testtask" in history[-1]["scores"]
+
+
+def test_cli_rejects_block_kernel_for_backbone_training_modes():
+    """--attn_impl block has a frozen-projection backward; modes that train
+    the projections must be rejected up front (silent zero grads otherwise)."""
+    import pytest
+
+    from feddat_tpu.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main([
+            "--encoder_name", "vilt", "--optimizer_mode", "full",
+            "--attn_impl", "block", "--ordered_cl_tasks", "clove_scene_a",
+            "--do_train", "--smoke",
+        ])
+    assert "frozen attention projections" in str(e.value)

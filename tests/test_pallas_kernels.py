@@ -260,3 +260,16 @@ def test_albef_vision_block_impl_matches_auto():
                   method=type(mb).encode_train)
     for a, b in zip(jax.tree_util.tree_leaves(l0), jax.tree_util.tree_leaves(lb)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_create_model_routes_block_to_albef_vision_tower():
+    from feddat_tpu.configs.core import PEFTMode
+    from feddat_tpu.models import create_model
+
+    model, cfg = create_model(
+        "albef_no_distill", {}, PEFTMode.DAT, attn_impl="block",
+        remat=True, remat_policy="block_save_nox",
+    )
+    assert model.vision_attn_impl == "block"
+    assert model.attn_impl == "auto"  # text towers stay on XLA
+    assert cfg.remat_policy == "block_save_nox"
