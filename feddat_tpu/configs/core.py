@@ -129,6 +129,9 @@ class ViltModelConfig:
     # time; the param tree is unchanged).  Fewer, larger MXU calls and one
     # read of the layer input instead of three.
     fuse_qkv: bool = False
+    # With attn_impl='block': fold norm_before into the kernel (frozen
+    # LN backward — create_model turns this off for the 'norm' PEFT mode).
+    fuse_ln: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -184,6 +187,8 @@ class AlbefModelConfig:
     # "block_save_nox" to pair with the attn-block kernel (see
     # ViltModelConfig.remat_policy / ops/attn_block.py).
     remat_policy: str = "full"
+    # See ViltModelConfig.fuse_ln (applies to the ViT tower's blocks).
+    fuse_ln: bool = True
     # Storage dtype of attention logits/cotangents (see ViltModelConfig):
     # "bfloat16" halves the dominant HBM traffic of the attention backward
     # (+14%% measured on ViLT; same trick, same fp32 softmax accumulation).

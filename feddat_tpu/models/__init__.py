@@ -51,6 +51,10 @@ def create_model(
     lora = LoraSpec(enabled=(peft_mode == PEFTMode.LORA if lora_enabled is None else lora_enabled))
     prompt = PromptSpec(enabled=(peft_mode == PEFTMode.PROMPT if prompt_enabled is None else prompt_enabled))
 
+    # 'norm' trains the LayerNorm params: keep LN OUTSIDE the block kernel
+    # there (the kernel's fused-LN backward returns zero LN cotangents).
+    fuse_ln = peft_mode != PEFTMode.NORM
+
     if encoder_name in ("vilt", "viltbert"):
         cfg = ViltModelConfig(
             adapter=adapter,
@@ -59,6 +63,7 @@ def create_model(
             remat=remat,
             remat_policy=remat_policy,
             attention_logits_dtype=attention_logits_dtype,
+            fuse_ln=fuse_ln,
             **({"image_size": image_size} if image_size else {}),
         )
         if encoder_name == "viltbert":
@@ -79,6 +84,7 @@ def create_model(
             remat=remat,
             remat_policy=remat_policy,
             attention_logits_dtype=attention_logits_dtype,
+            fuse_ln=fuse_ln,
             distill=(encoder_name == "albef_distill"),
         )
         # 'block' on ALBEF targets the ViT tower (S=577, the FLOP-dominant

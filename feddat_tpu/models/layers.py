@@ -87,6 +87,17 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LayerNormParams(nn.Module):
+    """Param-declaration twin of ``nn.LayerNorm`` (scale + bias, same
+    names/shapes/inits) for the fused-LN attention-block kernel."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        return scale, bias
+
+
 class _LoraDenseParams(nn.Module):
     """Param-declaration twin of :class:`LoraDense` (dense + lora_a/lora_b)."""
 
@@ -136,6 +147,7 @@ class MultiHeadAttention(nn.Module):
         kv: Optional[jnp.ndarray] = None,
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        ln: Optional[tuple] = None,
     ) -> jnp.ndarray:
         is_self = kv is None
         if kv is None:
@@ -165,6 +177,13 @@ class MultiHeadAttention(nn.Module):
             wv, bv, _, _ = _LoraDenseParams(self.hidden_size, self.lora, init, name="value")(in_f)
             wo, bo = _DenseParams(self.hidden_size, True, init, name="out")(self.hidden_size)
             bqkv = jnp.stack([bq, bk, bv]).astype(jnp.float32)
+            # optional fused pre-LN (PreLNLayer hands (scale, bias, eps) and
+            # a PRE-norm x when its fuse_ln flag is on)
+            gb = None
+            ln_eps = None
+            if ln is not None:
+                gb = jnp.stack([ln[0], ln[1]]).astype(jnp.float32)
+                ln_eps = float(ln[2])
             # 2 batch elements per grid step amortize the weight DMA at short
             # S (471 vs 469 samples/s on ViLT, PERF.md); at long S (ALBEF's
             # ViT, S=577) the doubled VMEM working set stalls the Mosaic
@@ -174,13 +193,18 @@ class MultiHeadAttention(nn.Module):
                 x.astype(self.dtype),
                 wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype),
                 wo.astype(self.dtype),
-                bqkv, bo.astype(jnp.float32)[None, :], bias,
+                bqkv, bo.astype(jnp.float32)[None, :], gb, bias,
                 self.num_heads, d_head ** -0.5, block_b,
-                _jax.default_backend() == "cpu",
+                _jax.default_backend() == "cpu", ln_eps,
             )
             from jax.ad_checkpoint import checkpoint_name
 
             return checkpoint_name(out, "attn_out")
+        if ln is not None:
+            raise AssertionError(
+                "fused-LN attention requested at a site that does not qualify "
+                "for the block kernel (PreLNLayer must pre-check eligibility)"
+            )
 
         if self.fuse_qkv and is_self:
             in_f = x.shape[-1]
@@ -296,6 +320,10 @@ class PreLNLayer(nn.Module):
     remat_ln: bool = False
     # One [d, 3d] q/k/v matmul (see MultiHeadAttention.fuse_qkv).
     fuse_qkv: bool = False
+    # With attn_impl='block': compute norm_before INSIDE the kernel too
+    # (frozen scale/bias backward — the CLI excludes the 'norm' PEFT mode
+    # from the block kernel when this is on).
+    fuse_ln: bool = True
 
     @nn.compact
     def __call__(
@@ -317,19 +345,38 @@ class PreLNLayer(nn.Module):
             fuse_qkv=self.fuse_qkv,
             name="attention",
         )
-        ln_before = nn.LayerNorm(
-            epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_before"
+        # mirror of MultiHeadAttention's block-kernel eligibility (this is a
+        # self-attention site; when it holds and fuse_ln is on, norm_before
+        # runs inside the kernel on the PRE-norm input)
+        block_ok = (
+            self.attn_impl == "block"
+            and (bias is None or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1))
+            and not self.lora.enabled
+            and not (self.attention_dropout > 0.0 and not deterministic)
         )
-        if self.remat_ln:
-            attn_in = nn.remat(lambda mdl, h: mdl(h))(ln_before, x)
+        # LN fusion only at short S: the f32 LN temporaries on a [592, 768]
+        # block overflow VMEM at ALBEF's S=577 (compile failure) — there the
+        # kernel takes pre-normalized input instead.
+        if block_ok and self.fuse_ln and x.shape[1] <= 256:
+            ln_scale, ln_bias = _LayerNormParams(name="norm_before")(self.hidden_size)
+            attn_out = attn(
+                x, bias=bias, deterministic=deterministic,
+                ln=(ln_scale, ln_bias, self.layer_norm_eps),
+            )
         else:
-            attn_in = ln_before(x)
-        if self.remat_attention:
-            attn_out = nn.remat(
-                lambda mdl, h, b: mdl(h, bias=b, deterministic=deterministic)
-            )(attn, attn_in, bias)
-        else:
-            attn_out = attn(attn_in, bias=bias, deterministic=deterministic)
+            ln_before = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_before"
+            )
+            if self.remat_ln:
+                attn_in = nn.remat(lambda mdl, h: mdl(h))(ln_before, x)
+            else:
+                attn_in = ln_before(x)
+            if self.remat_attention:
+                attn_out = nn.remat(
+                    lambda mdl, h, b: mdl(h, bias=b, deterministic=deterministic)
+                )(attn, attn_in, bias)
+            else:
+                attn_out = attn(attn_in, bias=bias, deterministic=deterministic)
         attn_out = nn.Dropout(self.dropout_rate)(attn_out, deterministic=deterministic)
         h = x + attn_out
 

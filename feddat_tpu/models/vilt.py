@@ -232,6 +232,7 @@ class ViltEncoder(nn.Module):
             remat_attention=(c.remat and c.remat_policy == "attention"),
             remat_ln=(c.remat and c.remat_policy == "min_save"),
             fuse_qkv=getattr(c, "fuse_qkv", False),
+            fuse_ln=getattr(c, "fuse_ln", True),
         )
 
         class _LayerBody(nn.Module):

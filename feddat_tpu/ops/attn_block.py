@@ -2,16 +2,19 @@
 
 One kernel computes the whole pre-LN attention block of a transformer layer:
 
-    q/k/v = x @ W_{q,k,v} + b     (three MXU dots, bf16 in / fp32 accum)
+    xln   = LayerNorm(x)          (optional, fused: gb/ln_eps args)
+    q/k/v = xln @ W_{q,k,v} + b   (three MXU dots, bf16 in / fp32 accum)
     ctx   = softmax(q k^T * scale + bias) v      (per-head, whole-S in VMEM)
     out   = ctx @ W_out + b_out
 
 for the PEFT regime where the projection weights are FROZEN (FedDAT's
-DAT/adapter/prompt/norm modes — reference ``src/train/main.py:132-245``
-freezes the backbone in all of them): the backward returns d x only and
-**zero** cotangents for the weights.  Do NOT route ``full``/``bias``/
-``lora``/``freeze_bottom_k`` modes through this kernel — their optimizers
-would silently see zero gradients for the projection params.
+DAT/adapter/prompt modes — reference ``src/train/main.py:132-245`` freezes
+the backbone in all of them): the backward returns d x only and **zero**
+cotangents for the weights.  Do NOT route ``full``/``bias``/``lora``/
+``freeze_bottom_k`` modes through this kernel — their optimizers would
+silently see zero gradients for the projection params.  ``norm`` mode may
+use it only WITHOUT the fused LN (create_model sets ``fuse_ln=False``
+there, keeping the trainable LayerNorms outside the kernel).
 
 Why this kernel exists: under full-layer remat XLA runs the attention
 region as many small fusions with [B,S,H,D]<->[B,H,S,D] relayouts between
@@ -25,8 +28,14 @@ Numerics match the XLA path with ``attention_logits_dtype=bfloat16``:
 bf16 dot inputs, fp32 accumulation, fp32 softmax, bf16 probs into the PV
 dot.  No attention dropout (ViLT's default is 0.0).
 
-Shapes: x [B, S, Dm]; weights [Dm, Dm]; bias row [B, S] additive padding
-mask (-1e4 on masked keys).  S is padded to a multiple of 16 internally.
+Shapes: x [B, S, Dm]; weights [Dm, Dm]; bqkv [3, Dm] f32 (stacked q/k/v
+biases); bo [1, Dm] f32; gb [2, Dm] f32 (LN scale/bias) or None; bias
+[B, 1, 1, S] additive padding mask (compacted to a [B, 1, SP] row
+internally) or None.  S is padded to a multiple of 16 and B to a multiple
+of ``block_b``; padded keys are masked with NEG_INF, padded rows/elements
+produce zeros in the backward.  Per grid step: ``block_b`` batch elements,
+all heads streamed sequentially (per-head [SP, SP] fp32 logits tile); the
+weights stay resident in VMEM across the grid.
 """
 
 from __future__ import annotations
@@ -46,12 +55,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _apply_ln(x_raw, gb_ref, ln_eps, out_dtype):
+    """Fused pre-LN (fast-variance form, matching flax nn.LayerNorm):
+    x_raw [SP, Dm] -> normalized bf16.  gb_ref: [2, Dm] f32 (scale, bias)."""
+    xr = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xr, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xr * xr, axis=1, keepdims=True) - mu * mu, 0.0)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    gb = gb_ref[...]
+    xln = (xr - mu) * rstd * gb[0][None, :] + gb[1][None, :]
+    return xln.astype(out_dtype)
+
+
 def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref, bo_ref,
-                bias_ref, out_ref, ctx_ref, lse_ref, *, num_heads: int, scale: float):
+                gb_ref, bias_ref, out_ref, ctx_ref, lse_ref,
+                *, num_heads: int, scale: float, ln_eps):
     nb, sp, dm = x_ref.shape
     d = dm // num_heads
     for i in range(nb):
         x = x_ref[i]  # [SP, Dm] bf16
+        if ln_eps is not None:
+            x = _apply_ln(x, gb_ref, ln_eps, x.dtype)
         q = jax.lax.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
         k = jax.lax.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
         v = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
@@ -84,12 +108,15 @@ def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref, bo_ref,
 
 
 def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
-                bias_ref, ctx_ref, lse_ref, g_ref, dx_ref,
-                dq_s, dk_s, dv_s, *, num_heads: int, scale: float):
+                gb_ref, bias_ref, ctx_ref, lse_ref, g_ref, dx_ref,
+                dq_s, dk_s, dv_s, *, num_heads: int, scale: float, ln_eps):
     nb, sp, dm = x_ref.shape
     d = dm // num_heads
     for i in range(nb):
         x = x_ref[i]
+        if ln_eps is not None:
+            x_raw = x
+            x = _apply_ln(x, gb_ref, ln_eps, x.dtype)
         g = g_ref[i]  # [SP, Dm] bf16
         # d ctx = g @ Wout^T
         dctx = jax.lax.dot_general(
@@ -144,6 +171,18 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
         dx = jax.lax.dot_general(dq_s[...], wq_ref[...], nt, preferred_element_type=jnp.float32)
         dx = dx + jax.lax.dot_general(dk_s[...], wk_ref[...], nt, preferred_element_type=jnp.float32)
         dx = dx + jax.lax.dot_general(dv_s[...], wv_ref[...], nt, preferred_element_type=jnp.float32)
+        if ln_eps is not None:
+            # dx above is d(loss)/d(LN output); convert through the LN
+            # (frozen scale/bias -> no dgamma/dbeta)
+            xr = x_raw.astype(jnp.float32)
+            mu = jnp.mean(xr, axis=1, keepdims=True)
+            var = jnp.maximum(jnp.mean(xr * xr, axis=1, keepdims=True) - mu * mu, 0.0)
+            rstd = jax.lax.rsqrt(var + ln_eps)
+            xhat = (xr - mu) * rstd
+            dxhat = dx * gb_ref[...][0][None, :]
+            m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+            m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+            dx = rstd * (dxhat - m1 - xhat * m2)
         dx_ref[i] = dx.astype(dx_ref.dtype)
 
 
@@ -168,20 +207,23 @@ def _prep(x, bias, block_b: int):
     return x, brow, b, s, sp, bp
 
 
-def _fwd_call(x, wq, wk, wv, wo, bqkv, bo, bias, num_heads, scale,
-              block_b, interpret):
+def _fwd_call(x, wq, wk, wv, wo, bqkv, bo, gb, bias, num_heads, scale,
+              block_b, interpret, ln_eps):
     xp, brow, b, s, sp, bp = _prep(x, bias, block_b)
     dm = x.shape[-1]
+    if gb is None:
+        gb = jnp.zeros((2, dm), jnp.float32)
     grid = (bp // block_b,)
     wspec = pl.BlockSpec((dm, dm), lambda i: (0, 0))
     out, ctx, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale, ln_eps=ln_eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
             wspec, wspec, wspec, wspec,
             pl.BlockSpec((3, dm), lambda i: (0, 0)),
             pl.BlockSpec((1, dm), lambda i: (0, 0)),
+            pl.BlockSpec((2, dm), lambda i: (0, 0)),
             pl.BlockSpec((block_b, 1, sp), lambda i: (i, 0, 0)),
         ],
         out_specs=(
@@ -195,32 +237,36 @@ def _fwd_call(x, wq, wk, wv, wo, bqkv, bo, bias, num_heads, scale,
             jax.ShapeDtypeStruct((bp, num_heads, sp), jnp.float32),
         ),
         interpret=interpret,
-    )(xp, wq, wk, wv, wo, bqkv, bo, brow)
+    )(xp, wq, wk, wv, wo, bqkv, bo, gb, brow)
     return out[:b, :s], (xp, brow, ctx, lse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def attn_block(x, wq, wk, wv, wo, bqkv, bo, bias,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def attn_block(x, wq, wk, wv, wo, bqkv, bo, gb, bias,
                num_heads: int, scale: Optional[float] = None,
-               block_b: int = 1, interpret: bool = False):
-    """Fused attention block (projections + MHA + out-projection).
+               block_b: int = 1, interpret: bool = False,
+               ln_eps: Optional[float] = None):
+    """Fused attention block (projections + MHA + out-projection), with an
+    optional fused pre-LayerNorm (``gb`` = [2, Dm] f32 (scale, bias) and a
+    static ``ln_eps``; pass both as None to take pre-normalized input).
 
-    FROZEN-projection backward: returns d x only; the weight/bias
-    cotangents are zero (see module docstring).  ``bqkv`` is [3, Dm]
+    FROZEN-projection backward: returns d x only; the weight/bias/LN
+    cotangents are zero (see module docstring — with ``ln_eps`` set this
+    additionally excludes the ``norm`` PEFT mode).  ``bqkv`` is [3, Dm]
     (q/k/v biases stacked), ``bo`` is [1, Dm].
     """
     if scale is None:
         scale = (x.shape[-1] // num_heads) ** -0.5
-    return _fwd_call(x, wq, wk, wv, wo, bqkv, bo, bias, num_heads, scale,
-                     block_b, interpret)[0]
+    return _fwd_call(x, wq, wk, wv, wo, bqkv, bo, gb, bias, num_heads, scale,
+                     block_b, interpret, ln_eps)[0]
 
 
-def _attn_block_fwd(x, wq, wk, wv, wo, bqkv, bo, bias,
-                    num_heads, scale, block_b, interpret):
+def _attn_block_fwd(x, wq, wk, wv, wo, bqkv, bo, gb, bias,
+                    num_heads, scale, block_b, interpret, ln_eps):
     if scale is None:
         scale = (x.shape[-1] // num_heads) ** -0.5
     out, (xp, brow, ctx, lse) = _fwd_call(
-        x, wq, wk, wv, wo, bqkv, bo, bias, num_heads, scale, block_b, interpret
+        x, wq, wk, wv, wo, bqkv, bo, gb, bias, num_heads, scale, block_b, interpret, ln_eps
     )
     # Tag the residuals so a selective-remat policy (remat_policy
     # "block_save": save_only_these_names('attn_x','attn_ctx','attn_lse',
@@ -231,11 +277,11 @@ def _attn_block_fwd(x, wq, wk, wv, wo, bqkv, bo, bias,
     xp = checkpoint_name(xp, "attn_x")
     ctx = checkpoint_name(ctx, "attn_ctx")
     lse = checkpoint_name(lse, "attn_lse")
-    return out, (xp, brow, ctx, lse, wq, wk, wv, wo, bqkv, bo, bias, x.shape)
+    return out, (xp, brow, ctx, lse, wq, wk, wv, wo, bqkv, bo, gb, bias, x.shape)
 
 
-def _attn_block_bwd(num_heads, scale, block_b, interpret, res, g):
-    xp, brow, ctx, lse, wq, wk, wv, wo, bqkv, bo, bias, xshape = res
+def _attn_block_bwd(num_heads, scale, block_b, interpret, ln_eps, res, g):
+    xp, brow, ctx, lse, wq, wk, wv, wo, bqkv, bo, gb, bias, xshape = res
     b, s, dm = xshape
     if scale is None:
         scale = (dm // num_heads) ** -0.5
@@ -244,14 +290,16 @@ def _attn_block_bwd(num_heads, scale, block_b, interpret, res, g):
     if (sp != s) or (bp != b):
         gp = jnp.pad(g, ((0, bp - b), (0, sp - s), (0, 0)))
     grid = (bp // block_b,)
+    gb_arr = gb if gb is not None else jnp.zeros((2, dm), jnp.float32)
     wspec = pl.BlockSpec((dm, dm), lambda i: (0, 0))
     dx = pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale, ln_eps=ln_eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
             wspec, wspec, wspec, wspec,
             pl.BlockSpec((3, dm), lambda i: (0, 0)),
+            pl.BlockSpec((2, dm), lambda i: (0, 0)),
             pl.BlockSpec((block_b, 1, sp), lambda i: (i, 0, 0)),
             pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
             pl.BlockSpec((block_b, num_heads, sp), lambda i: (i, 0, 0)),
@@ -265,10 +313,11 @@ def _attn_block_bwd(num_heads, scale, block_b, interpret, res, g):
             pltpu.VMEM((sp, dm), g.dtype),
         ],
         interpret=interpret,
-    )(xp, wq, wk, wv, wo, bqkv, brow, ctx, lse, gp)
+    )(xp, wq, wk, wv, wo, bqkv, gb_arr, brow, ctx, lse, gp)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, (wq, wk, wv, wo, bqkv, bo))
+    dgb = None if gb is None else jnp.zeros_like(gb)
     dbias = None if bias is None else jnp.zeros_like(bias)
-    return (dx[:b, :s], *zeros, dbias)
+    return (dx[:b, :s], *zeros, dgb, dbias)
 
 
 attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)

@@ -147,10 +147,10 @@ def test_attn_block_matches_composed_reference():
     rng = np.random.RandomState(11)
     x, ws, bqkv, bo, bias = _block_inputs(rng)
     ref = _block_reference(x, ws, bqkv, bo, bias, 4)
-    out = attn_block(x, *ws, bqkv, bo, bias, 4, None, 1, True)
+    out = attn_block(x, *ws, bqkv, bo, None, bias, 4, None, 1, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
     # multi-element grid blocks with batch padding (b=3, block_b=2 -> pad 4)
-    out2 = attn_block(x, *ws, bqkv, bo, bias, 4, None, 2, True)
+    out2 = attn_block(x, *ws, bqkv, bo, None, bias, 4, None, 2, True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
@@ -160,7 +160,7 @@ def test_attn_block_input_grads_match_reference():
     rng = np.random.RandomState(12)
     x, ws, bqkv, bo, bias = _block_inputs(rng, b=2, s=13)
 
-    gk = jax.grad(lambda x: jnp.sum(attn_block(x, *ws, bqkv, bo, bias, 4, None, 1, True) ** 2))(x)
+    gk = jax.grad(lambda x: jnp.sum(attn_block(x, *ws, bqkv, bo, None, bias, 4, None, 1, True) ** 2))(x)
     gr = jax.grad(lambda x: jnp.sum(_block_reference(x, ws, bqkv, bo, bias, 4) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
 
@@ -174,7 +174,7 @@ def test_attn_block_weight_grads_are_zero_by_contract():
     rng = np.random.RandomState(13)
     x, ws, bqkv, bo, bias = _block_inputs(rng, b=1, s=9)
     g = jax.grad(
-        lambda wq: jnp.sum(attn_block(x, wq, ws[1], ws[2], ws[3], bqkv, bo, bias, 4, None, 1, True))
+        lambda wq: jnp.sum(attn_block(x, wq, ws[1], ws[2], ws[3], bqkv, bo, None, bias, 4, None, 1, True))
     )(ws[0])
     assert float(jnp.max(jnp.abs(g))) == 0.0
 
@@ -273,3 +273,29 @@ def test_create_model_routes_block_to_albef_vision_tower():
     assert model.vision_attn_impl == "block"
     assert model.attn_impl == "auto"  # text towers stay on XLA
     assert cfg.remat_policy == "block_save_nox"
+
+
+def test_attn_block_fused_ln_matches_composed_reference():
+    """LN-fused variant: kernel(x, gb, eps) == reference(LayerNorm(x));
+    input grads too (frozen LN scale/bias by contract)."""
+    from feddat_tpu.ops.attn_block import attn_block
+
+    rng = np.random.RandomState(15)
+    x, ws, bqkv, bo, bias = _block_inputs(rng, b=2, s=17)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(32), jnp.float32)
+    beta = jnp.asarray(0.05 * rng.randn(32), jnp.float32)
+    gb = jnp.stack([gamma, beta])
+    eps = 1e-12
+
+    def ln(x):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+    ref = _block_reference(ln(x), ws, bqkv, bo, bias, 4)
+    out = attn_block(x, *ws, bqkv, bo, gb, bias, 4, None, 1, True, eps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    gk = jax.grad(lambda x: jnp.sum(attn_block(x, *ws, bqkv, bo, gb, bias, 4, None, 1, True, eps) ** 2))(x)
+    gr = jax.grad(lambda x: jnp.sum(_block_reference(ln(x), ws, bqkv, bo, bias, 4) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
