@@ -54,6 +54,7 @@ def _build(batch_size: int, dtype: str):
             remat=(batch_size > 8),
             remat_policy="block_save_nox" if dtype == "bfloat16" else "full",
             attention_logits_dtype="bfloat16" if dtype == "bfloat16" else "float32",
+            fuse_ln=(dtype == "bfloat16"),
         )
         num_labels = 100
     else:  # CPU smoke-scale
@@ -174,6 +175,7 @@ def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4):
             remat=True,
             remat_policy="block_save_nox" if dtype == "bfloat16" else "full",
             attention_logits_dtype="bfloat16" if dtype == "bfloat16" else "float32",
+            fuse_ln=(dtype == "bfloat16"),
         )
     else:  # CPU smoke-scale
         cfg = AlbefModelConfig(

@@ -275,7 +275,7 @@ def main(argv=None) -> int:
 
     task_keys = resolve_task_keys(args.ordered_cl_tasks)
     mode = PEFTMode(args.optimizer_mode)
-    if args.attn_impl == "block" and mode in (
+    if args.attn_impl == "block" and args.do_train and mode in (
         PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA, PEFTMode.FREEZE_BOTTOM_K
     ):
         raise SystemExit(

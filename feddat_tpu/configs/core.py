@@ -125,13 +125,12 @@ class ViltModelConfig:
     # lax.scan unroll factor for the layer stack: >1 lets XLA fuse/schedule
     # across layer boundaries at the cost of a bigger program.
     scan_unroll: int = 1
-    # Compute q/k/v with ONE [d, 3d] matmul (kernels concatenated at apply
-    # time; the param tree is unchanged).  Fewer, larger MXU calls and one
-    # read of the layer input instead of three.
-    fuse_qkv: bool = False
-    # With attn_impl='block': fold norm_before into the kernel (frozen
-    # LN backward — create_model turns this off for the 'norm' PEFT mode).
-    fuse_ln: bool = True
+    # With attn_impl='block': fold norm_before into the kernel.  The fused
+    # LN has a FROZEN backward (zero scale/bias cotangents), so this is an
+    # explicit opt-in (default False): create_model enables it for every
+    # PEFT mode except 'norm' (which trains the LayerNorms); direct config
+    # constructors must opt in themselves (+2% measured, PERF.md).
+    fuse_ln: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -187,8 +186,9 @@ class AlbefModelConfig:
     # "block_save_nox" to pair with the attn-block kernel (see
     # ViltModelConfig.remat_policy / ops/attn_block.py).
     remat_policy: str = "full"
-    # See ViltModelConfig.fuse_ln (applies to the ViT tower's blocks).
-    fuse_ln: bool = True
+    # See ViltModelConfig.fuse_ln (applies to the ViT tower's blocks;
+    # opt-in — frozen-LN backward).
+    fuse_ln: bool = False
     # Storage dtype of attention logits/cotangents (see ViltModelConfig):
     # "bfloat16" halves the dominant HBM traffic of the attention backward
     # (+14%% measured on ViLT; same trick, same fp32 softmax accumulation).

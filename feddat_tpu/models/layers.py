@@ -136,9 +136,6 @@ class MultiHeadAttention(nn.Module):
     # storage dtype of the attention logits (fp32 = reference parity;
     # bf16 = +14% DAT throughput, see ops/attention.py)
     logits_dtype: jnp.dtype = jnp.float32
-    # Self-attention only: compute q/k/v as ONE [d, 3d] matmul (kernels
-    # concatenated at apply time; param tree unchanged — see _DenseParams).
-    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -185,10 +182,11 @@ class MultiHeadAttention(nn.Module):
                 gb = jnp.stack([ln[0], ln[1]]).astype(jnp.float32)
                 ln_eps = float(ln[2])
             # 2 batch elements per grid step amortize the weight DMA at short
-            # S (471 vs 469 samples/s on ViLT, PERF.md); at long S (ALBEF's
+            # S (471 vs 469 samples/s on ViLT, PERF.md; verified to compile
+            # through S=281, the CLI's (384, 640) canvas); at long S (ALBEF's
             # ViT, S=577) the doubled VMEM working set stalls the Mosaic
             # compiler — drop to 1.
-            block_b = 2 if x.shape[1] <= 256 else 1
+            block_b = 2 if x.shape[1] <= 288 else 1
             out = attn_block(
                 x.astype(self.dtype),
                 wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype),
@@ -206,26 +204,9 @@ class MultiHeadAttention(nn.Module):
                 "for the block kernel (PreLNLayer must pre-check eligibility)"
             )
 
-        if self.fuse_qkv and is_self:
-            in_f = x.shape[-1]
-            wq, bq, laq, lbq = _LoraDenseParams(self.hidden_size, self.lora, init, name="query")(in_f)
-            wk, bk = _DenseParams(self.hidden_size, True, init, name="key")(in_f)
-            wv, bv, lav, lbv = _LoraDenseParams(self.hidden_size, self.lora, init, name="value")(in_f)
-            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            b3 = jnp.concatenate([bq, bk, bv], axis=0).astype(self.dtype)
-            qkv = x.astype(self.dtype) @ w + b3
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            if self.lora.enabled:
-                scale_l = self.lora.alpha / self.lora.rank
-                la = jnp.concatenate([laq, lav], axis=1).astype(self.dtype)
-                low = x.astype(self.dtype) @ la
-                low_q, low_v = jnp.split(low, 2, axis=-1)
-                q = q + (low_q @ lbq.astype(self.dtype)) * scale_l
-                v = v + (low_v @ lbv.astype(self.dtype)) * scale_l
-        else:
-            q = LoraDense(self.hidden_size, self.lora, self.dtype, init, name="query")(x)
-            k = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="key")(kv)
-            v = LoraDense(self.hidden_size, self.lora, self.dtype, init, name="value")(kv)
+        q = LoraDense(self.hidden_size, self.lora, self.dtype, init, name="query")(x)
+        k = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="key")(kv)
+        v = LoraDense(self.hidden_size, self.lora, self.dtype, init, name="value")(kv)
 
         def split(t):
             b, s, _ = t.shape
@@ -318,12 +299,10 @@ class PreLNLayer(nn.Module):
     # of the "minimal-save" policy: no layer remat + Pallas attention (no
     # stored probs) + checkpointed LNs.
     remat_ln: bool = False
-    # One [d, 3d] q/k/v matmul (see MultiHeadAttention.fuse_qkv).
-    fuse_qkv: bool = False
     # With attn_impl='block': compute norm_before INSIDE the kernel too
-    # (frozen scale/bias backward — the CLI excludes the 'norm' PEFT mode
-    # from the block kernel when this is on).
-    fuse_ln: bool = True
+    # (frozen scale/bias backward — create_model excludes the 'norm' PEFT
+    # mode; opt-in, see ViltModelConfig.fuse_ln).
+    fuse_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -342,7 +321,6 @@ class PreLNLayer(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             logits_dtype=self.logits_dtype,
-            fuse_qkv=self.fuse_qkv,
             name="attention",
         )
         # mirror of MultiHeadAttention's block-kernel eligibility (this is a
@@ -354,10 +332,10 @@ class PreLNLayer(nn.Module):
             and not self.lora.enabled
             and not (self.attention_dropout > 0.0 and not deterministic)
         )
-        # LN fusion only at short S: the f32 LN temporaries on a [592, 768]
-        # block overflow VMEM at ALBEF's S=577 (compile failure) — there the
-        # kernel takes pre-normalized input instead.
-        if block_ok and self.fuse_ln and x.shape[1] <= 256:
+        # LN fusion only at short-to-medium S: the f32 LN temporaries
+        # overflow VMEM past S~448 (measured: S=448 compiles, S=512 and
+        # ALBEF's S=577 fail) — there the kernel takes pre-normalized input.
+        if block_ok and self.fuse_ln and x.shape[1] <= 448:
             ln_scale, ln_bias = _LayerNormParams(name="norm_before")(self.hidden_size)
             attn_out = attn(
                 x, bias=bias, deterministic=deterministic,

@@ -231,7 +231,6 @@ class ViltEncoder(nn.Module):
             logits_dtype=jnp.dtype(c.attention_logits_dtype),
             remat_attention=(c.remat and c.remat_policy == "attention"),
             remat_ln=(c.remat and c.remat_policy == "min_save"),
-            fuse_qkv=getattr(c, "fuse_qkv", False),
             fuse_ln=getattr(c, "fuse_ln", True),
         )
 
@@ -243,40 +242,9 @@ class ViltEncoder(nn.Module):
             def __call__(self, carry, layer_bias, layer_adapter_w):
                 layer = PreLNLayer(**layer_kwargs, name="layer")
                 if c.remat and c.remat_policy not in ("attention", "min_save"):
-                    import jax as _jax
+                    from feddat_tpu.ops.remat_policy import resolve_remat_policy
 
-                    if c.remat_policy == "dots":
-                        policy = _jax.checkpoint_policies.dots_saveable
-                    elif c.remat_policy == "block_save":
-                        # attn_impl='block' companion: store the attention
-                        # kernel's output + vjp residuals so the backward
-                        # scan re-runs only the cheap LN/FFN/adapter parts,
-                        # never the attention forward kernel
-                        policy = _jax.checkpoint_policies.save_only_these_names(
-                            "attn_x", "attn_ctx", "attn_lse", "attn_out"
-                        )
-                    elif c.remat_policy == "block_save_nox":
-                        # block_save minus the stored kernel input: the
-                        # backward re-runs LN1 (cheap VPU) to rebuild it
-                        policy = _jax.checkpoint_policies.save_only_these_names(
-                            "attn_ctx", "attn_lse", "attn_out"
-                        )
-                    elif c.remat_policy == "block_save_ffn":
-                        # block_save + stored FFN pre-activation (skip the
-                        # [*, 4d] matmul recompute too)
-                        policy = _jax.checkpoint_policies.save_only_these_names(
-                            "attn_x", "attn_ctx", "attn_lse", "attn_out", "ffn_preact"
-                        )
-                    elif c.remat_policy == "names":
-                        # selective remat: store exactly the cheap-to-store /
-                        # expensive-to-recompute bf16 tensors (tagged in
-                        # layers.py / ops/attention.py), recompute the rest —
-                        # frozen-backbone backward needs nothing else
-                        policy = _jax.checkpoint_policies.save_only_these_names(
-                            "qkv", "attn_probs", "attn_out", "ffn_preact"
-                        )
-                    else:
-                        policy = None
+                    policy = resolve_remat_policy(c.remat_policy)
                     out = nn.remat(
                         lambda mdl, h, b, w: mdl(h, b, adapter_mode, deterministic, w),
                         policy=policy,

@@ -68,17 +68,11 @@ class VisionTransformer(nn.Module):
             def __call__(self, carry, _):
                 block = PreLNLayer(**layer_kwargs, name="block")
                 if use_remat:
-                    import jax as _jax
+                    from feddat_tpu.ops.remat_policy import resolve_remat_policy
 
-                    policy = None
-                    if remat_policy in ("block_save", "block_save_nox"):
-                        # companion policy of attn_impl='block': store the
-                        # attention kernel's residuals, recompute only the
-                        # LN/FFN/adapter part in the backward (PERF.md)
-                        names = ("attn_ctx", "attn_lse", "attn_out")
-                        if remat_policy == "block_save":
-                            names = ("attn_x",) + names
-                        policy = _jax.checkpoint_policies.save_only_these_names(*names)
+                    # the ViT does not wire the structural attention/min_save
+                    # variants -> clear error instead of silent full remat
+                    policy = resolve_remat_policy(remat_policy, supports_structural=False)
                     out = nn.remat(
                         lambda mdl, h: mdl(h, None, adapter_mode, deterministic),
                         policy=policy,

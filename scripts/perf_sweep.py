@@ -11,7 +11,7 @@ import numpy as np
 
 
 def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="full",
-          scan_unroll=1, fuse_qkv=False):
+          scan_unroll=1):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +32,7 @@ def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="
         remat_policy=remat_policy,
         attention_logits_dtype=logits_dtype,
         scan_unroll=scan_unroll,
-        fuse_qkv=fuse_qkv,
+        fuse_ln=(attn_impl == "block"),
     )
     model = ViltContinualLearner(
         cfg, {"fed": TaskHeadSpec(num_labels=100)}, dtype=jnp.bfloat16, attn_impl=attn_impl
@@ -104,9 +104,8 @@ def measure(spec):
     )
     policy = parts[5] if len(parts) > 5 else "full"
     unroll = int(parts[6]) if len(parts) > 6 else 1
-    fqkv = bool(int(parts[7])) if len(parts) > 7 else False
     try:
-        step, state, batch = build(B, remat, attn, ldt, fused, policy, unroll, fqkv)
+        step, state, batch = build(B, remat, attn, ldt, fused, policy, unroll)
         batch = jax.device_put(batch)
         for _ in range(3):
             state, m = step(state, batch)

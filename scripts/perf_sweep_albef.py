@@ -33,6 +33,7 @@ def build(batch_size, remat, attn_impl, logits_dtype, fused_step, vision_attn=No
         remat=remat,
         remat_policy=remat_policy,
         attention_logits_dtype=logits_dtype,
+        fuse_ln=(vision_attn == "block"),
     )
     kwargs = {}
     if vision_attn is not None:

@@ -191,6 +191,7 @@ def test_vilt_block_impl_matches_auto_end_to_end():
         vocab_size=500, hidden_size=32, num_layers=2, num_heads=4,
         intermediate_size=64, max_text_len=12, image_size=(64, 64), patch_size=32,
         adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
+        fuse_ln=True,  # exercise the LN-fused kernel end-to-end
     )
     m0 = ViltContinualLearner(cfg, {"fed": TaskHeadSpec(num_labels=7)})
     mb = ViltContinualLearner(cfg, {"fed": TaskHeadSpec(num_labels=7)}, attn_impl="block")
@@ -240,6 +241,7 @@ def test_albef_vision_block_impl_matches_auto():
                              intermediate_size=64, fusion_layer=2),
         decoder_layers=2, max_question_len=8, max_answer_len=6,
         adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
+        fuse_ln=True,
     )
     m0 = AlbefModel(cfg)
     mb = AlbefModel(cfg, vision_attn_impl="block")
