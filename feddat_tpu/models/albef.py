@@ -143,7 +143,12 @@ class AlbefModel(nn.Module):
         question_atts,
         adapter_mode="none",
         deterministic=True,
+        cross_group=1,
     ):
+        """``cross_group=k``: answer rows come k-per-question ([B*k, La])
+        while question_states stay [B, Lq, D] — the decoder groups the
+        cross-attention per question (see XBertLayer), avoiding the
+        k-fold repeat of the question states entirely."""
         return self.text_decoder(
             answer_ids,
             answer_mask,
@@ -151,6 +156,7 @@ class AlbefModel(nn.Module):
             encoder_attention_mask=question_atts,
             adapter_mode=adapter_mode,
             deterministic=deterministic,
+            cross_group=cross_group,
         )
 
     # -- train -------------------------------------------------------------
@@ -179,13 +185,12 @@ class AlbefModel(nn.Module):
         ans_ids = batch["answer_ids"].reshape(B * A, La)
         ans_mask = batch["answer_mask"].reshape(B * A, La)
         weights = batch["answer_weights"].reshape(B * A)
-        # repeat question states per answer slot (dense analogue of
-        # ``albef_model.py:92-98``)
-        q_rep = jnp.repeat(q_states, A, axis=0)
-        q_att_rep = jnp.repeat(batch["question_mask"], A, axis=0)
-
+        # grouped cross-attention over the A answer slots of each question
+        # (dense analogue of ``albef_model.py:92-98``, without repeating the
+        # question states A times — see decode_logits)
         logits = self.decode_logits(
-            ans_ids, ans_mask, q_rep, q_att_rep, adapter_mode, deterministic
+            ans_ids, ans_mask, q_states, batch["question_mask"], adapter_mode,
+            deterministic, cross_group=A,
         )
         targets = jnp.where(ans_ids == pad_token_id, -100, ans_ids)
         soft = None
@@ -210,10 +215,9 @@ class AlbefModel(nn.Module):
         B, A, La = batch["answer_ids"].shape
         ans_ids = batch["answer_ids"].reshape(B * A, La)
         ans_mask = batch["answer_mask"].reshape(B * A, La)
-        q_rep = jnp.repeat(q_states, A, axis=0)
-        q_att_rep = jnp.repeat(batch["question_mask"], A, axis=0)
         return self.text_decoder.bert_hidden(
-            ans_ids, ans_mask, q_rep, q_att_rep, adapter_mode, deterministic
+            ans_ids, ans_mask, q_states, batch["question_mask"], adapter_mode,
+            deterministic, cross_group=A,
         )
 
     def apply_cls(self, hidden):
@@ -233,9 +237,10 @@ class AlbefModel(nn.Module):
         B, A, La = batch["answer_ids"].shape
         ans_ids = batch["answer_ids"].reshape(B * A, La)
         ans_mask = batch["answer_mask"].reshape(B * A, La)
-        q_rep = jnp.repeat(q_states, A, axis=0)
-        q_att_rep = jnp.repeat(batch["question_mask"], A, axis=0)
-        logits = self.decode_logits(ans_ids, ans_mask, q_rep, q_att_rep, adapter_mode, deterministic)
+        logits = self.decode_logits(
+            ans_ids, ans_mask, q_states, batch["question_mask"], adapter_mode,
+            deterministic, cross_group=A,
+        )
         return logits[:, :-1, :]
 
     # -- eval --------------------------------------------------------------
@@ -283,9 +288,12 @@ class AlbefModel(nn.Module):
 
         cand_ids = answer_ids[topk_ids.reshape(-1)]  # [B*k, La]
         cand_mask = answer_mask[topk_ids.reshape(-1)]
-        q_rep = jnp.repeat(q_states, k, axis=0)
-        q_att_rep = jnp.repeat(batch["question_mask"], k, axis=0)
-        logits = self.decode_logits(cand_ids, cand_mask, q_rep, q_att_rep, adapter_mode, True)
+        # grouped cross-attention: question states are NOT repeated per
+        # candidate (encoder K/V projections run B times, not B*k times)
+        logits = self.decode_logits(
+            cand_ids, cand_mask, q_states, batch["question_mask"], adapter_mode,
+            True, cross_group=k,
+        )
         targets = jnp.where(cand_ids == pad_token_id, -100, cand_ids)
         seq_loss = shifted_lm_loss(logits, targets)  # [B*k]
 

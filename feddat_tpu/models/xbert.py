@@ -78,6 +78,7 @@ class XBertLayer(nn.Module):
         enc_bias=None,
         adapter_mode: str = "none",
         deterministic: bool = True,
+        cross_group: int = 1,
     ):
         c = self.cfg
 
@@ -99,7 +100,7 @@ class XBertLayer(nn.Module):
         h = residual_block(x, attn, "attention_norm")
 
         if self.has_cross:
-            cross = MultiHeadAttention(
+            mha = MultiHeadAttention(
                 c.hidden_size,
                 c.num_heads,
                 dropout_rate=c.attention_dropout,
@@ -108,7 +109,22 @@ class XBertLayer(nn.Module):
                 attn_impl=self.attn_impl,
                 logits_dtype=self.logits_dtype,
                 name="crossattention",
-            )(h, kv=enc_states, bias=enc_bias, deterministic=deterministic)
+            )
+            if cross_group > 1:
+                # Candidate-ranking layout (rank_answer): x is [B*k, La, D]
+                # with all k candidate rows of one question attending the
+                # SAME enc_states row.  Group them to [B, k*La, D] so the
+                # encoder K/V projections run once per question instead of
+                # once per candidate (k=64x fewer rows), with no repeated
+                # enc_states in memory.  Identical math: every query token
+                # still sees exactly its question's kv set.
+                bk, la, dm = h.shape
+                b = bk // cross_group
+                hg = h.reshape(b, cross_group * la, dm)
+                cross = mha(hg, kv=enc_states, bias=enc_bias, deterministic=deterministic)
+                cross = cross.reshape(bk, la, dm)
+            else:
+                cross = mha(h, kv=enc_states, bias=enc_bias, deterministic=deterministic)
             h = residual_block(h, cross, "crossattention_norm")
 
         # FFN with adapter LN-sandwich
@@ -149,6 +165,7 @@ class XBertEncoder(nn.Module):
         mode: str = "multi_modal",
         adapter_mode: str = "none",
         deterministic: bool = True,
+        cross_group: int = 1,
     ):
         c = self.cfg
         n_text = c.fusion_layer
@@ -180,6 +197,7 @@ class XBertEncoder(nn.Module):
                             enc_bias=eb if has_cross else None,
                             adapter_mode=adapter_mode,
                             deterministic=deterministic,
+                            cross_group=cross_group,
                         )
 
                     if use_remat:
@@ -231,6 +249,7 @@ class XBertModel(nn.Module):
         adapter_mode: str = "none",
         deterministic: bool = True,
         inputs_embeds=None,
+        cross_group: int = 1,
     ):
         c = self.cfg
         if inputs_embeds is None:
@@ -266,6 +285,7 @@ class XBertModel(nn.Module):
             mode=mode,
             adapter_mode=adapter_mode,
             deterministic=deterministic,
+            cross_group=cross_group,
         )
 
 
@@ -322,6 +342,7 @@ class XBertLMHead(nn.Module):
         encoder_attention_mask=None,
         adapter_mode: str = "none",
         deterministic: bool = True,
+        cross_group: int = 1,
     ):
         """Decoder transformer only -> final hidden states (no LM head)."""
         return self.bert(
@@ -332,6 +353,7 @@ class XBertLMHead(nn.Module):
             mode="multi_modal",
             adapter_mode=adapter_mode,
             deterministic=deterministic,
+            cross_group=cross_group,
         )
 
     def cls_logits(self, hidden):
@@ -346,6 +368,7 @@ class XBertLMHead(nn.Module):
         encoder_attention_mask=None,
         adapter_mode: str = "none",
         deterministic: bool = True,
+        cross_group: int = 1,
     ):
         hidden = self.bert_hidden(
             input_ids,
@@ -354,6 +377,7 @@ class XBertLMHead(nn.Module):
             encoder_attention_mask,
             adapter_mode,
             deterministic,
+            cross_group,
         )
         return self.cls_logits(hidden)
 
@@ -395,6 +419,7 @@ class XBertMaskedLM(nn.Module):
             mode=mode,
             adapter_mode=adapter_mode,
             deterministic=deterministic,
+            cross_group=cross_group,
         )
         logits = BertPredictionHead(self.cfg, self.dtype, name="cls")(hidden)
         if labels is None:

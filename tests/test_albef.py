@@ -147,3 +147,24 @@ def test_momentum_distill_forward(albef_setup):
     np.testing.assert_allclose(
         np.asarray(leaf0[key]), np.asarray(leafp[key]) * (1 - TINY_ALBEF.momentum), rtol=1e-5
     )
+
+
+def test_decode_logits_grouped_cross_attention_matches_repeat(albef_setup):
+    """cross_group=k (rank_answer/train layout) must equal the explicit
+    per-candidate repeat of the question states."""
+    model, params, client = albef_setup
+    batch = next(client.train_batches(0))
+    B, A, La = batch["answer_ids"].shape
+    q = model.apply({"params": params}, batch["pixel_values"], batch["question_ids"],
+                    batch["question_mask"], "ensemble", True,
+                    method=AlbefModel.encode_question)
+    ans_ids = batch["answer_ids"].reshape(B * A, La)
+    ans_mask = batch["answer_mask"].reshape(B * A, La)
+    q_rep = jnp.repeat(q, A, axis=0)
+    q_att = jnp.repeat(jnp.asarray(batch["question_mask"]), A, axis=0)
+    lo_rep = model.apply({"params": params}, ans_ids, ans_mask, q_rep, q_att,
+                         "ensemble", True, method=AlbefModel.decode_logits)
+    lo_grp = model.apply({"params": params}, ans_ids, ans_mask, q,
+                         batch["question_mask"], "ensemble", True, cross_group=A,
+                         method=AlbefModel.decode_logits)
+    np.testing.assert_allclose(np.asarray(lo_grp), np.asarray(lo_rep), rtol=1e-5, atol=1e-6)
