@@ -263,6 +263,10 @@ def _measure_albef_rank(batch_size: int = 16, bank: int = 100, k: int = 64,
 
 
 def main():
+    from feddat_tpu.utils.observability import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip the ~8 min of compiles
+
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"

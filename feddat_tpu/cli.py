@@ -254,6 +254,10 @@ def build_clients(args, task_keys, tokenizer):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from feddat_tpu.utils.observability import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent jit cache (relaunches skip compiles)
+
     import jax
 
     if args.multihost:
