@@ -408,6 +408,7 @@ class XBertMaskedLM(nn.Module):
         mode: str = "multi_modal",
         adapter_mode: str = "none",
         deterministic: bool = True,
+        cross_group: int = 1,
     ):
         hidden = XBertModel(
             self.cfg, self.adapter, self.lora, self.dtype, self.attn_impl, name="bert"

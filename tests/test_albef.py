@@ -168,3 +168,31 @@ def test_decode_logits_grouped_cross_attention_matches_repeat(albef_setup):
                          batch["question_mask"], "ensemble", True, cross_group=A,
                          method=AlbefModel.decode_logits)
     np.testing.assert_allclose(np.asarray(lo_grp), np.asarray(lo_rep), rtol=1e-5, atol=1e-6)
+
+
+def test_xbert_masked_lm_smoke():
+    """XBertMaskedLM (the reference's BertForMaskedLM port) — forward with
+    and without labels/cross-attention; regression guard for signature
+    drift (it has no other in-repo caller)."""
+    from feddat_tpu.models.xbert import XBertMaskedLM
+
+    cfg = AlbefBertConfig(
+        vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, hidden_dropout=0.0, attention_dropout=0.0,
+        fusion_layer=1,
+    )
+    m = XBertMaskedLM(cfg, AdapterSpec())
+    rng = np.random.RandomState(5)
+    ids = rng.randint(1, 100, size=(2, 8)).astype(np.int32)
+    mask = np.ones((2, 8), np.int32)
+    v = m.init(jax.random.PRNGKey(0), ids, mask)
+    logits = m.apply(v, ids, mask)
+    assert logits.shape == (2, 8, 100)
+    labels = np.where(rng.rand(2, 8) < 0.3, ids, -100).astype(np.int32)
+    out = m.apply(v, ids, mask, labels=labels)
+    loss = out[0] if isinstance(out, tuple) else out
+    assert np.isfinite(float(loss))
+    # multimodal: cross-attend to encoder states from fusion_layer on
+    enc = rng.randn(2, 5, 32).astype(np.float32)
+    logits_mm = m.apply(v, ids, mask, encoder_hidden_states=enc)
+    assert logits_mm.shape == (2, 8, 100)
