@@ -296,8 +296,9 @@ def main():
     # config (B=64: 505, B=48: 508 samples/s)
     tuned_bs = 48 if on_tpu else 8
     tuned = _measure(tuned_bs, "bfloat16")
-    # 30 iters: the B=2 denominator is latency-dominated and noisy at 10
-    baseline = _measure(2, "float32", warmup=3, iters=30)
+    # 50 iters: the B=2 denominator is latency-dominated and noisy at 10
+    # (and still ~3% run-to-run at 30); the extra second buys stability
+    baseline = _measure(2, "float32", warmup=5, iters=50)
     print(
         json.dumps(
             {
