@@ -189,6 +189,11 @@ class AlbefModelConfig:
     # See ViltModelConfig.fuse_ln (applies to the ViT tower's blocks;
     # opt-in — frozen-LN backward).
     fuse_ln: bool = False
+    # Remat for the text/fusion/decoder towers only (None = follow
+    # ``remat``).  Their activations are tiny (Lq<=25, La<=10), so
+    # recomputing them buys no memory — False skips that overhead while the
+    # ViT keeps checkpointing.
+    text_remat: Optional[bool] = None
     # Storage dtype of attention logits/cotangents (see ViltModelConfig):
     # "bfloat16" halves the dominant HBM traffic of the attention backward
     # (+14%% measured on ViLT; same trick, same fp32 softmax accumulation).

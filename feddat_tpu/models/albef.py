@@ -86,13 +86,14 @@ class AlbefModel(nn.Module):
             self.cfg, self.dtype, self.vision_attn_impl or self.attn_impl
         )
         logits_dtype = jnp.dtype(self.cfg.attention_logits_dtype)
+        text_remat = self.cfg.remat if self.cfg.text_remat is None else self.cfg.text_remat
         self.text_encoder = XBertModel(
             self.cfg.bert,
             adapter=self.cfg.adapter,
             lora=self.cfg.lora,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
-            remat=self.cfg.remat,
+            remat=text_remat,
             logits_dtype=logits_dtype,
         )
         self.text_decoder = XBertLMHead(
@@ -101,7 +102,7 @@ class AlbefModel(nn.Module):
             lora=self.cfg.lora,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
-            remat=self.cfg.remat,
+            remat=text_remat,
             logits_dtype=logits_dtype,
         )
 

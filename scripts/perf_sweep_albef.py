@@ -28,12 +28,17 @@ def build(batch_size, remat, attn_impl, logits_dtype, fused_step, vision_attn=No
     from feddat_tpu.train.forwards import make_albef_forward
     from feddat_tpu.train.trainers import make_albef_fused_dat_step
 
+    text_remat = None
+    if remat_policy.endswith("+notext"):
+        text_remat = False
+        remat_policy = remat_policy[: -len("+notext")]
     cfg = AlbefModelConfig(
         adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
         remat=remat,
         remat_policy=remat_policy,
         attention_logits_dtype=logits_dtype,
         fuse_ln=(vision_attn == "block"),
+        text_remat=text_remat,
     )
     kwargs = {}
     if vision_attn is not None:
