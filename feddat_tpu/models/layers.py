@@ -119,6 +119,19 @@ class _LoraDenseParams(nn.Module):
         return kernel, bias, la, lb
 
 
+def _attn_block_eligible(attn_impl, bias, lora, dropout_rate, deterministic):
+    """Single source of truth for the attention-block-kernel eligibility:
+    self-attention with a padding-row bias (or none), no LoRA, no live
+    attention dropout.  Used by MultiHeadAttention (to route) and
+    PreLNLayer (to decide LN fusion) — keep them in lockstep."""
+    return (
+        attn_impl == "block"
+        and (bias is None or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1))
+        and not lora.enabled
+        and not (dropout_rate > 0.0 and not deterministic)
+    )
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention with separate q/k/v/out projections.
 
@@ -153,15 +166,10 @@ class MultiHeadAttention(nn.Module):
         init = nn.initializers.normal(stddev=0.02)
 
         # Whole-attention-block Pallas kernel (frozen projections; see
-        # ops/attn_block.py).  Only self-attention with a padding-row bias
-        # (or none) qualifies; causal/cross-attention sites (ALBEF decoder,
+        # ops/attn_block.py).  Causal/cross-attention sites (ALBEF decoder,
         # xBERT fusion) fall back to the composable path below.
-        use_block = (
-            self.attn_impl == "block"
-            and is_self
-            and (bias is None or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1))
-            and not self.lora.enabled
-            and not (self.dropout_rate > 0.0 and not deterministic)
+        use_block = is_self and _attn_block_eligible(
+            self.attn_impl, bias, self.lora, self.dropout_rate, deterministic
         )
         if use_block:
             import jax as _jax
@@ -323,14 +331,10 @@ class PreLNLayer(nn.Module):
             logits_dtype=self.logits_dtype,
             name="attention",
         )
-        # mirror of MultiHeadAttention's block-kernel eligibility (this is a
-        # self-attention site; when it holds and fuse_ln is on, norm_before
-        # runs inside the kernel on the PRE-norm input)
-        block_ok = (
-            self.attn_impl == "block"
-            and (bias is None or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1))
-            and not self.lora.enabled
-            and not (self.attention_dropout > 0.0 and not deterministic)
+        # this is a self-attention site; when the kernel is eligible and
+        # fuse_ln is on, norm_before runs inside it on the PRE-norm input
+        block_ok = _attn_block_eligible(
+            self.attn_impl, bias, self.lora, self.attention_dropout, deterministic
         )
         # LN fusion only at short-to-medium S: the f32 LN temporaries
         # overflow VMEM past S~448 (measured: S=448 compiles, S=512 and
