@@ -279,14 +279,24 @@ def main(argv=None) -> int:
 
     task_keys = resolve_task_keys(args.ordered_cl_tasks)
     mode = PEFTMode(args.optimizer_mode)
-    if args.attn_impl == "block" and args.do_train and mode in (
+    if args.attn_impl == "block" and mode in (
         PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA, PEFTMode.FREEZE_BOTTOM_K
     ):
-        raise SystemExit(
-            "--attn_impl block assumes frozen attention projections; "
-            f"--optimizer_mode {mode.value} trains them (its gradients would "
-            "silently be zero).  Use --attn_impl auto for this mode."
+        # create_model rejects this combination outright (frozen-projection
+        # kernel vs a mode that trains the projections); for training runs
+        # surface the conflict, for eval-only runs fall back gracefully.
+        if args.do_train:
+            raise SystemExit(
+                "--attn_impl block assumes frozen attention projections; "
+                f"--optimizer_mode {mode.value} trains them (its gradients would "
+                "silently be zero).  Use --attn_impl auto for this mode."
+            )
+        print(
+            f"[feddat_tpu] --attn_impl block is incompatible with "
+            f"--optimizer_mode {mode.value}; falling back to 'auto' for this "
+            "eval-only run", file=sys.stderr,
         )
+        args.attn_impl = "auto"
     config = TrainConfig(
         encoder_name=args.encoder_name,
         peft_mode=mode,

@@ -47,6 +47,22 @@ def create_model(
     )
 
     jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    # The whole-attention-block kernel has a FROZEN-projection backward (zero
+    # weight/bias cotangents for q/k/v/out) — modes that train those weights
+    # would silently get zero gradients.  Guard here (not only in the CLI) so
+    # programmatic callers can't build a silently-broken training model.
+    # LORA is structurally ineligible anyway (the kernel route checks
+    # ``not lora.enabled``) but is rejected too for a clear error.  Eval-only
+    # users of these modes should pass attn_impl='auto' (the CLI downgrades
+    # for them automatically).
+    if attn_impl == "block" and peft_mode in (
+        PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA, PEFTMode.FREEZE_BOTTOM_K
+    ):
+        raise ValueError(
+            "attn_impl='block' assumes frozen attention projections; "
+            f"peft_mode={peft_mode.value!r} trains them (their gradients would "
+            "silently be zero).  Use attn_impl='auto' for this mode."
+        )
     adapter = adapter_spec_for_mode(peft_mode, adapter_reduction_factor)
     lora = LoraSpec(enabled=(peft_mode == PEFTMode.LORA if lora_enabled is None else lora_enabled))
     prompt = PromptSpec(enabled=(peft_mode == PEFTMode.PROMPT if prompt_enabled is None else prompt_enabled))

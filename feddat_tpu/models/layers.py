@@ -168,6 +168,12 @@ class MultiHeadAttention(nn.Module):
         # Whole-attention-block Pallas kernel (frozen projections; see
         # ops/attn_block.py).  Causal/cross-attention sites (ALBEF decoder,
         # xBERT fusion) fall back to the composable path below.
+        # Note on logits precision: the kernel computes QK^T with fp32
+        # accumulation and softmaxes in fp32 regardless of self.logits_dtype
+        # — i.e. it implements the logits_dtype=fp32 semantics exactly (the
+        # logits are never stored at lower precision; they are never stored
+        # at all — the backward recomputes them, again in fp32).  A bf16
+        # logits_dtype setting merely has no storage to save here.
         use_block = is_self and _attn_block_eligible(
             self.attn_impl, bias, self.lora, self.dropout_rate, deterministic
         )

@@ -231,7 +231,7 @@ class ViltEncoder(nn.Module):
             logits_dtype=jnp.dtype(c.attention_logits_dtype),
             remat_attention=(c.remat and c.remat_policy == "attention"),
             remat_ln=(c.remat and c.remat_policy == "min_save"),
-            fuse_ln=getattr(c, "fuse_ln", True),
+            fuse_ln=getattr(c, "fuse_ln", False),
         )
 
         class _LayerBody(nn.Module):

@@ -57,7 +57,7 @@ class VisionTransformer(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             logits_dtype=jnp.dtype(c.attention_logits_dtype),
-            fuse_ln=getattr(c, "fuse_ln", True),
+            fuse_ln=getattr(c, "fuse_ln", False),
         )
 
         use_remat = c.remat

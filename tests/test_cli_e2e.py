@@ -561,3 +561,23 @@ def test_cli_rejects_block_kernel_for_backbone_training_modes():
             "--do_train", "--smoke",
         ])
     assert "frozen attention projections" in str(e.value)
+
+
+def test_create_model_rejects_block_kernel_for_backbone_training_modes():
+    """The guard must live in the library, not only the CLI: a programmatic
+    caller building a FULL/BIAS/FREEZE_BOTTOM_K/LORA model with
+    attn_impl='block' would silently train with zero projection grads."""
+    import pytest
+
+    from feddat_tpu.configs.core import PEFTMode
+    from feddat_tpu.models import create_model
+    from feddat_tpu.models.vilt import TaskHeadSpec
+
+    heads = {"t": TaskHeadSpec(num_labels=4)}
+    for mode in (PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA,
+                 PEFTMode.FREEZE_BOTTOM_K):
+        with pytest.raises(ValueError, match="frozen attention projections"):
+            create_model("vilt", heads, mode, attn_impl="block")
+    # frozen-backbone modes still build
+    model, _ = create_model("vilt", heads, PEFTMode.DAT, attn_impl="block")
+    assert model is not None
