@@ -472,6 +472,19 @@ def main(argv=None) -> int:
 
     from feddat_tpu.train.trainers import resolve_trainer
 
+    # Non-federated tasks take lr/wd/eps/warmup from the task config
+    # (``train_nlvr2.py:88-97``); the federated cross-VQA path uses --lr.
+    opt_overrides = {
+        k: OptimizerConfig(
+            lr=TASK_CONFIGS[k].lr,
+            weight_decay=TASK_CONFIGS[k].weight_decay,
+            adam_eps=TASK_CONFIGS[k].adam_epsilon,
+            warmup_ratio=TASK_CONFIGS[k].warmup_ratio,
+        )
+        for k in task_keys
+        if TASK_CONFIGS[k].trainer != "vqa_cross"
+    }
+
     if args.engine == "spmd":
         if args.do_single:
             raise ValueError(
@@ -512,6 +525,25 @@ def main(argv=None) -> int:
             from feddat_tpu.train.forwards import make_vilt_forward
 
             make_forward = lambda m, k: make_vilt_forward(m, k, loss="ce")
+        # The SPMD engine compiles ONE step for all stacked clients, so it
+        # takes a single optimizer config: apply the task-config override
+        # when every client agrees on it (the common case — one task kind
+        # per spmd run), reject silently-divergent hyperparameters.
+        if opt_overrides:
+            if set(opt_overrides) != set(task_keys) or len({
+                (o.lr, o.weight_decay, o.adam_eps, o.warmup_ratio)
+                for o in opt_overrides.values()
+            }) != 1:
+                raise SystemExit(
+                    "--engine spmd compiles one optimizer for all clients, but "
+                    "the selected tasks carry different per-task optimizer "
+                    "configs; use --engine sequential for mixed task kinds"
+                )
+            import dataclasses as _dc
+
+            config = _dc.replace(
+                config, optimizer=next(iter(opt_overrides.values()))
+            )
         trainer = SPMDFederatedTrainer(
             model, params, list(clients.values()), config, mesh,
             make_forward=make_forward,
@@ -553,18 +585,6 @@ def main(argv=None) -> int:
                 "classification tasks use the standard DAT step"
             )
             use_fused = False
-        # Non-federated tasks take lr/wd/eps/warmup from the task config
-        # (``train_nlvr2.py:88-97``); the federated cross-VQA path uses --lr.
-        opt_overrides = {
-            k: OptimizerConfig(
-                lr=TASK_CONFIGS[k].lr,
-                weight_decay=TASK_CONFIGS[k].weight_decay,
-                adam_eps=TASK_CONFIGS[k].adam_epsilon,
-                warmup_ratio=TASK_CONFIGS[k].warmup_ratio,
-            )
-            for k in task_keys
-            if TASK_CONFIGS[k].trainer != "vqa_cross"
-        }
         trainer = FederatedTrainer(
             model, params, clients, config,
             make_forward=make_forward,

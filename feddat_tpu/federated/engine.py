@@ -177,12 +177,40 @@ class FederatedTrainer:
 
     @staticmethod
     def _build_fused_dat_step(model, params, task_key, part, opt_cfg, max_steps):
-        """ViLT fused DAT step (single ensemble encoder pass; see
+        """Fused DAT step (single ensemble encoder pass; see
         ``train/dat.py::make_dat_train_step_fused``).  Exact when encoder
-        dropout is off (ViLT default)."""
+        dropout is off (ViLT default; ALBEF's 0.1 default triggers a
+        warning — the fused pass is deterministic)."""
         from feddat_tpu.peft.partition import label_params, merge, split_by_roles
         from feddat_tpu.train.dat import make_dat_train_step_fused
         from feddat_tpu.train.losses import bce_with_logits_vqa
+        from feddat_tpu.train.trainers import check_fused_dropout
+
+        check_fused_dropout(model)
+        from feddat_tpu.models.albef import AlbefModel
+
+        if isinstance(model, AlbefModel):
+            from feddat_tpu.train.trainers import albef_fused_task_loss
+
+            labels = label_params(params)
+            _, frozen_rest_a = split_by_roles(params, labels, frozenset({"head"}))
+
+            def encode_a(p, b, mode, rng):
+                return model.apply(
+                    {"params": p}, b, adapter_mode=mode, deterministic=True,
+                    method=AlbefModel.encode_train,
+                )
+
+            def head_fn_a(h, hidden):
+                return model.apply(
+                    {"params": merge(h, frozen_rest_a)}, hidden,
+                    method=AlbefModel.apply_cls,
+                )
+
+            return make_dat_train_step_fused(
+                encode_a, head_fn_a, albef_fused_task_loss(), part, opt_cfg,
+                max_steps, donate=False,
+            )
 
         labels = label_params(params)
         _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
@@ -252,6 +280,10 @@ class FederatedTrainer:
                 it = prefetch_to_device(it, size=2)
             spe = client.data.steps_per_epoch
             for step_idx, batch in enumerate(it):
+                # reference --debug N truncation: per-epoch, batches 0..N run
+                # (``task_trainer.py:82-83``: ``if debug > 0 and step > debug``)
+                if self.config.debug_steps and step_idx > self.config.debug_steps:
+                    break
                 if self.batch_transform is not None:
                     batch = self.batch_transform(batch, epoch, step_idx, spe)
                 state, metrics = client.train_step(state, batch)
@@ -259,8 +291,6 @@ class FederatedTrainer:
                 if self.metrics is not None:
                     bs = next(iter(batch.values())).shape[0]
                     self.metrics.step(metrics, bs, client.task_key)
-                if self.config.debug_steps and steps > self.config.debug_steps:
-                    break
         return state.params
 
     def run_round(self, round_idx: int) -> None:
@@ -289,17 +319,19 @@ class FederatedTrainer:
         from feddat_tpu.peft.partition import merge
 
         results = {}
+        dbg = self.config.debug_steps
         for client in self.clients:
             params = self._client_params(client)
             n = client.data.num_eval_examples
             if self.mode == PEFTMode.DAT:
                 score = evaluate_dat(
-                    params, client.eval_step, client.data.eval_batches, n
+                    params, client.eval_step, client.data.eval_batches, n,
+                    debug_steps=dbg,
                 )
             elif self.mode == PEFTMode.ADAPTER:
-                score = evaluate(params, client.eval_step, client.data.eval_batches(), n, "adapter")
+                score = evaluate(params, client.eval_step, client.data.eval_batches(), n, "adapter", debug_steps=dbg)
             else:
-                score = evaluate(params, client.eval_step, client.data.eval_batches(), n, "none")
+                score = evaluate(params, client.eval_step, client.data.eval_batches(), n, "none", debug_steps=dbg)
             results[client.task_key] = score
         entry = {"round": round_idx, "scores": results}
         self.history.append(entry)
@@ -361,12 +393,14 @@ class FederatedTrainer:
             n = client.data.num_eval_examples
             if self.mode == PEFTMode.DAT:
                 results[client.task_key] = evaluate_dat(
-                    params, client.eval_step, client.data.eval_batches, n
+                    params, client.eval_step, client.data.eval_batches, n,
+                    debug_steps=self.config.debug_steps,
                 )
             else:
                 mode = "adapter" if self.mode == PEFTMode.ADAPTER else "none"
                 results[client.task_key] = evaluate(
-                    params, client.eval_step, client.data.eval_batches(), n, mode
+                    params, client.eval_step, client.data.eval_batches(), n, mode,
+                    debug_steps=self.config.debug_steps,
                 )
         self.server_params = init_server
         entry = {"round": -1, "scores": results, "single_task": True}

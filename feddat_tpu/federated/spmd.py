@@ -143,6 +143,9 @@ class SPMDFederatedTrainer:
             from feddat_tpu.peft.partition import merge as _merge
             from feddat_tpu.train.dat import dat_step_core_fused
             from feddat_tpu.train.losses import bce_with_logits_vqa
+            from feddat_tpu.train.trainers import check_fused_dropout
+
+            check_fused_dropout(model)
 
             flat_all = traverse_util.flatten_dict(params)
             head_frozen_rest = traverse_util.unflatten_dict(
@@ -409,13 +412,20 @@ class SPMDFederatedTrainer:
         """Zip per-client iterators into [C, B, ...] host batches, truncated
         to the minimum step count (heterogeneous client sizes; SURVEY.md
         §7.3 'Client heterogeneity vs SPMD')."""
+        dbg = self.config.debug_steps
         for epoch in range(self.config.federated.local_epochs):
             its = [c.train_batches(epoch=round_idx * 1000 + epoch) for c in self.clients]
+            step_idx = 0
             while True:
+                # reference --debug N truncation, per epoch (main.py:275-276,
+                # task_trainer.py:82-83: batches 0..N run)
+                if dbg and step_idx > dbg:
+                    break
                 try:
                     batches = [next(it) for it in its]
                 except StopIteration:
                     break
+                step_idx += 1
                 yield {
                     k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
                 }
@@ -465,11 +475,16 @@ class SPMDFederatedTrainer:
         reference's DAT eval (``task_trainer.py:229-244``)."""
         totals = {m: np.zeros(self.num_clients) for m in self._eval_steps}
         counts = np.array([c.num_eval_examples for c in self.clients], dtype=np.float64)
+        dbg = self.config.debug_steps
         for mode, fn in self._eval_steps.items():
             its = [c.eval_batches() for c in self.clients]
             template = None
             done = [False] * self.num_clients
+            step_idx = 0
             while True:
+                if dbg and step_idx > dbg:
+                    break
+                step_idx += 1
                 batches = []
                 for i, it in enumerate(its):
                     try:

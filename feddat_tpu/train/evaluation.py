@@ -96,10 +96,17 @@ def evaluate(
     batches: Iterable[Dict[str, Any]],
     num_examples: int,
     adapter_mode: str = "none",
+    debug_steps: int = 0,
 ) -> float:
-    """Score sum over loader / num_examples * 100 (``task_trainer.py:157``)."""
+    """Score sum over loader / num_examples * 100 (``task_trainer.py:157``).
+
+    ``debug_steps`` reproduces the reference's ``--debug N`` eval truncation
+    (``task_trainer.py:122-123,165-166``: batches 0..N run, the denominator
+    stays the full dataset size)."""
     total = 0.0
-    for batch in batches:
+    for step_idx, batch in enumerate(batches):
+        if debug_steps and step_idx > debug_steps:
+            break
         total += float(eval_step(params, batch, adapter_mode=adapter_mode))
     return total / max(1, num_examples) * 100.0
 
@@ -109,10 +116,14 @@ def evaluate_dat(
     eval_step,
     batches_factory: Callable[[], Iterable[Dict[str, Any]]],
     num_examples: int,
+    debug_steps: int = 0,
 ) -> List[float]:
     """DAT eval protocol (``task_trainer.py:229-244``):
     [gated ensemble, adapter_0 only, adapter_1 only]."""
     scores = []
     for mode in (MODE_ENSEMBLE, "adapter_0", "adapter_1"):
-        scores.append(evaluate(params, eval_step, batches_factory(), num_examples, mode))
+        scores.append(
+            evaluate(params, eval_step, batches_factory(), num_examples, mode,
+                     debug_steps=debug_steps)
+        )
     return scores

@@ -90,6 +90,35 @@ def albef_fused_task_loss(pad_token_id: int = 0):
     return task_loss
 
 
+def check_fused_dropout(model) -> float:
+    """The fused/joint DAT cores run their shared encoder pass with
+    ``deterministic=True``.  When the model config carries live dropout
+    (ALBEF's reference default: hidden/attention dropout 0.1,
+    ``model_configs.py:46-47``) the fused step silently changes training
+    semantics — warn loudly.  Returns the max configured dropout rate.
+    ViLT's defaults are 0.0, so its fused step is exact."""
+    import logging
+
+    cfg = getattr(model, "cfg", None) or getattr(model, "config", None)
+    rates = []
+    for holder in (cfg, getattr(cfg, "bert", None)):
+        if holder is None:
+            continue
+        for field in ("hidden_dropout", "attention_dropout"):
+            if hasattr(holder, field):
+                rates.append(float(getattr(holder, field)))
+    live = max(rates, default=0.0)
+    if live > 0.0:
+        logging.getLogger("feddat_tpu").warning(
+            "fused DAT step drops dropout (model config has dropout=%.2g but "
+            "the fused encoder pass is deterministic); training semantics "
+            "differ from the standard DAT step — set dropout to 0 for "
+            "exactness or use the standard step",
+            live,
+        )
+    return live
+
+
 def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: int = 0, donate: bool = False):
     """ALBEF fused DAT step: one ensemble encoder+decoder-backbone pass per
     batch (only the ``cls`` LM head changes between DAT stages ① and ③).
@@ -100,6 +129,7 @@ def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: i
     from feddat_tpu.peft.partition import label_params, merge, split_by_roles
     from feddat_tpu.train.dat import Partitioner, make_dat_train_step_fused
 
+    check_fused_dropout(model)
     part = Partitioner(params, "fed", PEFTMode.DAT)
     labels = label_params(params)
     _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))

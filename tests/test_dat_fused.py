@@ -149,3 +149,60 @@ def test_albef_fused_step_matches_standard():
         np.testing.assert_allclose(
             np.asarray(f0[k]), np.asarray(f1[k]), rtol=5e-4, atol=1e-6, err_msg=str(k)
         )
+
+
+def test_albef_sequential_engine_fused_routes_and_warns(caplog):
+    """FederatedTrainer(use_fused_dat=True) with an ALBEF model must route to
+    the ALBEF fused builder (it used to hit the ViLT-only one and crash) and
+    warn when the config carries live dropout (the fused pass is
+    deterministic; reference default hidden_dropout=0.1)."""
+    import dataclasses
+    import logging
+
+    from feddat_tpu.configs.core import FederatedConfig, TrainConfig
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+    from feddat_tpu.federated.engine import FederatedTrainer
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from feddat_tpu.train.evaluation import make_albef_eval_step
+    from feddat_tpu.train.forwards import make_albef_forward
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    # give the tiny config the reference's nonzero dropout -> expect the warning
+    acfg = dataclasses.replace(
+        TINY_ALBEF, bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.1)
+    )
+
+    clients = {
+        f"c{i}": SyntheticAlbefClient(
+            task_key=f"c{i}", num_train=8, num_eval=4, num_answers=8,
+            vocab_size=64, question_len=6, answer_len=4, image_size=(32, 32),
+            batch_size=4, seed=i,
+        )
+        for i in range(2)
+    }
+    model = AlbefModel(acfg)
+    batch = next(clients["c0"].train_batches(0))
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(
+        encoder_name="albef_no_distill",
+        peft_mode=PEFTMode.DAT,
+        optimizer=OPT,
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1,
+        seed=0,
+    )
+
+    def make_eval(mdl, task_key):
+        c = clients[task_key]
+        return make_albef_eval_step(mdl, c.answer_ids, c.answer_mask, k=4)
+
+    with caplog.at_level(logging.WARNING, logger="feddat_tpu"):
+        trainer = FederatedTrainer(
+            model, params, clients, cfg,
+            make_forward=lambda m, k: make_albef_forward(m),
+            make_eval=make_eval,
+            use_fused_dat=True,
+        )
+    assert any("fused DAT step drops dropout" in r.message for r in caplog.records)
+    history = trainer.run()
+    assert history and all(len(v) == 3 for v in history[-1]["scores"].values())

@@ -150,3 +150,25 @@ def test_create_model_perf_knobs():
     )
     assert cfg2.remat and cfg2.attention_logits_dtype == "bfloat16"
     assert m2.attn_impl == "auto"
+
+
+def test_evaluate_debug_steps_truncation():
+    """--debug N eval truncation (task_trainer.py:122-123): batches 0..N are
+    scored, the denominator stays the full dataset size."""
+    from feddat_tpu.train.evaluation import evaluate
+
+    calls = []
+
+    def fake_step(params, batch, adapter_mode="none"):
+        calls.append(batch)
+        return 2.0  # 2 points per batch
+
+    batches = [{"i": i} for i in range(10)]
+    # no truncation: all 10 batches, 20/40*100
+    score = evaluate(None, fake_step, iter(batches), num_examples=40)
+    assert score == 50.0 and len(calls) == 10
+    calls.clear()
+    # debug=3: batches 0..3 run (4 of them); denominator unchanged
+    score = evaluate(None, fake_step, iter(batches), num_examples=40, debug_steps=3)
+    assert len(calls) == 4
+    assert score == 4 * 2.0 / 40 * 100.0

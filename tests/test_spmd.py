@@ -357,3 +357,106 @@ def test_spmd_fused_matches_spmd_standard():
     f1 = traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, t_fused.client_state))
     for k in f0:
         np.testing.assert_allclose(f0[k], f1[k], rtol=5e-4, atol=1e-6, err_msg=str(k))
+
+
+def test_spmd_heterogeneous_truncation():
+    """Pins the documented SPMD min-steps semantics (README '--engine spmd'):
+    with unequal client sizes the round runs exactly min(steps_per_epoch)
+    steps, every client consuming the FIRST min-steps batches of its own
+    epoch iterator — equivalent to a sequential replay truncated the same
+    way (NOT to the reference's full-epoch-per-client loop)."""
+    sizes = [8, 16]  # 2 vs 4 steps at batch 4
+    clients = [
+        SyntheticVQAClient(
+            task_key=f"client_{i}",
+            num_train=sizes[i],
+            num_eval=4,
+            num_labels=16,
+            vocab_size=TINY_VILT.vocab_size,
+            text_len=TINY_VILT.max_text_len,
+            image_size=TINY_VILT.image_size,
+            batch_size=4,
+            val_batch_size=4,
+            seed=i,
+        )
+        for i in range(2)
+    ]
+    model = ViltContinualLearner(TINY_VILT, {FED_HEAD_KEY: TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), next(clients[0].train_batches(0)))
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1,
+        seed=0,
+    )
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+
+    # the stacked stream is truncated to the smaller client's step count
+    min_steps = min(c.steps_per_epoch for c in clients)
+    assert min_steps == 2 and clients[1].steps_per_epoch == 4
+    stacked = list(trainer._stacked_train_batches(0))
+    assert len(stacked) == min_steps
+
+    trainer.run_round(0)
+    spmd_flat = traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, trainer.client_state)
+    )
+
+    # sequential replay: each client consumes exactly its first min_steps
+    # batches (this is the pinned truncation semantics)
+    from feddat_tpu.peft.partition import teacher_refresh
+
+    part = Partitioner(params, FED_HEAD_KEY, PEFTMode.DAT)
+    max_steps = min_steps * cfg.num_epochs
+    step = make_dat_train_step(
+        make_vilt_forward(model, FED_HEAD_KEY), part, cfg.optimizer, max_steps,
+        donate=False,
+    )
+    client_parts = []
+    for i, c in enumerate(clients):
+        p = teacher_refresh(params)
+        state = init_train_state(p, part, cfg.optimizer, jax.random.PRNGKey(7 + i))
+        it = c.train_batches(epoch=0)
+        consumed = [next(it) for _ in range(min_steps)]
+        # cross-check the SPMD engine fed exactly these batches to this slot
+        for s, b in enumerate(consumed):
+            for k in b:
+                np.testing.assert_array_equal(stacked[s][k][i], b[k])
+        for b in consumed:
+            state, _ = step(state, b)
+        flat = traverse_util.flatten_dict(state.params)
+        client_parts.append({k: flat[k] for k in trainer.client_paths})
+    for k in client_parts[0]:
+        ours = [np.asarray(client_parts[0][k]), np.asarray(client_parts[1][k])]
+        if k in part.shared_paths:
+            expected = 0.5 * ours[0] + 0.5 * ours[1]
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), expected, rtol=2e-4, atol=2e-5,
+                    err_msg=str(k),
+                )
+        else:
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), ours[c], rtol=2e-4, atol=2e-5,
+                    err_msg=str(k),
+                )
+
+
+def test_spmd_debug_steps_truncation():
+    """--debug N truncates the SPMD train stream (reference semantics:
+    batches 0..N run, ``main.py:275-276``) and the eval loop."""
+    import dataclasses
+
+    model, params, clients, cfg = _setup(num_clients=2, batch_size=2)  # 4 steps/epoch
+    cfg = dataclasses.replace(cfg, debug_steps=1)
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    stacked = list(trainer._stacked_train_batches(0))
+    assert len(stacked) == 2  # steps 0..debug inclusive
+    trainer.run_round(0)
+    entry = trainer.evaluate_round(0)
+    for scores in entry["scores"].values():
+        assert all(0.0 <= s <= 100.0 for s in scores)
