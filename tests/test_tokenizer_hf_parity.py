@@ -134,3 +134,96 @@ def test_native_tokenizer_full_surface(tokenizers):
     ids_p, mask_p = ours.batch_encode(QUESTIONS, 24)
     np.testing.assert_array_equal(ids_n, ids_p)
     np.testing.assert_array_equal(mask_n, mask_p)
+
+
+# ---------------------------------------------------------------------------
+# Real-vocab-scale parity: 30,522-entry WordPiece (tests/fixtures/vocab30k.txt,
+# built by scripts/make_test_vocab.py — same size/'##'-density class as
+# bert-base-uncased, where greedy longest-match interacts with a vastly
+# denser piece space than the mini-vocab above).
+# ---------------------------------------------------------------------------
+
+import os
+
+VOCAB30K = os.path.join(os.path.dirname(__file__), "fixtures", "vocab30k.txt")
+
+
+@pytest.fixture(scope="module")
+def tokenizers_30k():
+    if not os.path.isfile(VOCAB30K):
+        pytest.skip("run scripts/make_test_vocab.py to build the 30k vocab")
+    hf = transformers.BertTokenizer(VOCAB30K, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(VOCAB30K)
+    return hf, ours
+
+
+def _sentence_pool(vocab, rng, n_sentences):
+    """Several thousand mixed sentences: real-ish word soup from the dense
+    vocab, raw multi-piece words, CJK, accents, digits, punctuation noise."""
+    whole = [v for v in vocab if not v.startswith("##") and v.isalpha() and len(v) > 2]
+    subs = [v[2:] for v in vocab if v.startswith("##") and v[2:].isalpha()]
+    cjk = [v for v in vocab if any("一" <= ch <= "鿿" for ch in v)]
+    punct = list(",.?!;:'\"-()[]/&")
+    sentences = []
+    for _ in range(n_sentences):
+        n = rng.randint(3, 14)
+        words = []
+        for _ in range(n):
+            r = rng.rand()
+            if r < 0.55:
+                words.append(whole[rng.randint(len(whole))])
+            elif r < 0.75:
+                # glued multi-piece word: forces longest-match backtracking
+                k = rng.randint(2, 4)
+                words.append(
+                    whole[rng.randint(len(whole))]
+                    + "".join(subs[rng.randint(len(subs))] for _ in range(k))
+                )
+            elif r < 0.85:
+                words.append(str(rng.randint(0, 10 ** rng.randint(1, 8))))
+            elif r < 0.92 and cjk:
+                words.append("".join(cjk[rng.randint(len(cjk))] for _ in range(rng.randint(1, 4))))
+            else:
+                words.append(
+                    whole[rng.randint(len(whole))] + punct[rng.randint(len(punct))]
+                )
+        sentences.append(" ".join(words))
+    # plus hand-picked hard cases at real-vocab scale
+    sentences += [
+        "The counterintuitive internationalization of tokenization pipelines",
+        "unbelievable disestablishmentarianism reimplementation",
+        "naïve café résumé coöperate",
+        "训练 数据 中文分词 的 测试",
+        "mixed中文and english 字符",
+        "hyphen-ated e-mail state-of-the-art",
+        "2+2=4, 100% of $5.99!",
+        "x" * 150,  # > max_input_chars_per_word
+    ]
+    return sentences
+
+
+def test_30k_vocab_parity_python(tokenizers_30k):
+    hf, ours = tokenizers_30k
+    rng = np.random.RandomState(42)
+    sentences = _sentence_pool(list(ours.vocab), rng, 3000)
+    for s in sentences:
+        assert ours.tokenize(s) == hf.tokenize(s), s
+        got = ours.encode(s, max_length=40)
+        want = hf.encode(s, max_length=40, truncation=True)
+        assert got == want, s
+
+
+def test_30k_vocab_parity_native(tokenizers_30k):
+    hf, ours = tokenizers_30k
+    native = pytest.importorskip("feddat_tpu.native")
+    if not native.available():
+        pytest.skip("no native toolchain")
+    nat = native.NativeWordPiece(ours.vocab)
+    rng = np.random.RandomState(7)
+    sentences = _sentence_pool(list(ours.vocab), rng, 3000)
+    for s in sentences:
+        assert nat.tokenize(s) == hf.tokenize(s), s
+    ids_n, mask_n = nat.batch_encode(sentences[:512], 40)
+    enc = hf(sentences[:512], max_length=40, truncation=True, padding="max_length")
+    np.testing.assert_array_equal(ids_n, np.asarray(enc["input_ids"], np.int32))
+    np.testing.assert_array_equal(mask_n, np.asarray(enc["attention_mask"], np.int32))
