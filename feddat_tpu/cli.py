@@ -463,10 +463,13 @@ def main(argv=None) -> int:
             pretrained = convert_albef_checkpoint(sd, num_patches_new=n_patches)
             params = merge_pretrained(params, pretrained)
 
+    # single-writer metrics: only process 0 writes the JSONL / W&B stream
+    # (the reference's rank-0 logging, ``main.py:67-99``)
+    is_p0 = jax.process_index() == 0
     metrics = MetricsLogger(
-        os.path.join(args.output_dir, f"{run_name}.metrics.jsonl"),
+        os.path.join(args.output_dir, f"{run_name}.metrics.jsonl") if is_p0 else None,
         log_every=args.wandb_freq,
-        wandb_project="feddat_tpu" if args.do_wandb_logging else None,
+        wandb_project="feddat_tpu" if (args.do_wandb_logging and is_p0) else None,
         wandb_run_name=run_name,
     )
 
@@ -603,11 +606,12 @@ def main(argv=None) -> int:
             history = trainer.run()
 
     metrics.close()
-    out = os.path.join(args.output_dir, f"{run_name}.history.json")
-    os.makedirs(args.output_dir, exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(history, f, indent=2, default=float)
-    logger.info("history written to %s", out)
+    if is_p0:  # single writer on shared filesystems
+        out = os.path.join(args.output_dir, f"{run_name}.history.json")
+        os.makedirs(args.output_dir, exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(history, f, indent=2, default=float)
+        logger.info("history written to %s", out)
     return 0
 
 

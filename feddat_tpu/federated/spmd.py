@@ -55,6 +55,14 @@ def _stack_trees(trees: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
 
 
+def client_eval_steps(client) -> int:
+    """Number of fixed-size eval batches a client yields: global metadata the
+    multi-host eval loop needs so every process runs the same step count."""
+    n = int(client.num_eval_examples)
+    bs = int(getattr(client, "val_batch_size", None) or client.batch_size)
+    return -(-n // bs)
+
+
 class SPMDFederatedTrainer:
     """Runs federated DAT rounds as SPMD over a ``(client, data)`` mesh."""
 
@@ -96,6 +104,39 @@ class SPMDFederatedTrainer:
             raise ValueError(f"{len(self.clients)} clients for client-axis size {C}")
         self.num_clients = C
 
+        # -- multi-host data topology (SURVEY §5.8; replaces the reference's
+        # accelerate multi-process launch, accelerate_config.yaml:1-11).
+        # Each process FEEDS only the client slots whose devices it hosts
+        # (``clients_for_process``); global [C, ...] arrays are assembled
+        # from process-local shards via make_array_from_process_local_data —
+        # no host ever materializes another host's batches.  Remote clients'
+        # data objects are touched for cheap metadata only (sizes/task_key).
+        from feddat_tpu.parallel.mesh import clients_for_process
+
+        self.process_index = jax.process_index()
+        self.num_processes = jax.process_count()
+        self._multihost = self.num_processes > 1
+        if self._multihost:
+            self.local_slots = clients_for_process(
+                mesh.devices, lambda d: d.process_index, self.process_index
+            )
+            for c in range(C):
+                procs = {d.process_index for d in np.asarray(mesh.devices[c]).flat}
+                if len(procs) > 1:
+                    raise ValueError(
+                        f"client slot {c}'s data-parallel group spans processes "
+                        f"{sorted(procs)}; use make_multihost_mesh so each "
+                        "client's devices are process-local (its batches are "
+                        "fed by the hosting process)"
+                    )
+            if not self.local_slots:
+                raise ValueError(
+                    f"process {self.process_index} hosts no client slots; "
+                    "shrink the process count or grow the client axis"
+                )
+        else:
+            self.local_slots = list(range(C))
+
         if make_forward is None:
             if family == "albef":
                 from feddat_tpu.train.forwards import make_albef_forward
@@ -127,7 +168,12 @@ class SPMDFederatedTrainer:
             {p: v for p, v in flat.items() if p not in self.client_paths}
         )
         # every client starts from the same init (reference main.py:440-450)
-        self.client_state = _stack_trees([client_part] * C)
+        self.client_state = self._put_client_tree(_stack_trees([client_part] * C))
+        if self._multihost:
+            # multi-process jit needs committed global arrays for every input
+            self.backbone = jax.tree_util.tree_map(
+                lambda x: self._put_global(x, P()), self.backbone
+            )
 
         steps_per_epoch = min(c.steps_per_epoch for c in self.clients)
         self.steps_per_round = steps_per_epoch * config.federated.local_epochs
@@ -272,8 +318,8 @@ class SPMDFederatedTrainer:
                     f"SPMD stacks answer banks; shapes must match, got {shapes}"
                 )
             self._banks = (
-                jnp.stack([jnp.asarray(b[0]) for b in banks]),
-                jnp.stack([jnp.asarray(b[1]) for b in banks]),
+                self._put_global(np.stack([np.asarray(b[0]) for b in banks]), P(CLIENT_AXIS)),
+                self._put_global(np.stack([np.asarray(b[1]) for b in banks]), P(CLIENT_AXIS)),
             )
             k = min(rank_k, int(self._banks[0].shape[1]))
             from feddat_tpu.models.albef import AlbefModel
@@ -407,25 +453,107 @@ class SPMDFederatedTrainer:
 
         return forward
 
+    # -- global-array placement (single- and multi-process) ----------------
+    def _put_global(self, x, spec):
+        """Host value -> committed global jax.Array sharded ``spec``.
+
+        Multi-host: the host value must be identical on every process when
+        replicated (``P()``) or carry the full [C, ...] leading client axis
+        (this process contributes only its ``local_slots`` rows, via
+        ``jax.make_array_from_process_local_data``)."""
+        sharding = NamedSharding(self.mesh, spec)
+        if not self._multihost:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        local = x[np.asarray(self.local_slots)] if (
+            len(spec) > 0 and spec[0] == CLIENT_AXIS
+        ) else x
+        return jax.make_array_from_process_local_data(sharding, local, x.shape)
+
+    def _put_client_tree(self, host_tree):
+        return jax.tree_util.tree_map(
+            lambda x: self._put_global(x, P(CLIENT_AXIS)), host_tree
+        )
+
+    def _put_local_batch(self, local_stack):
+        """[C_local, B, ...] host stack covering exactly ``local_slots`` ->
+        global [C, B, ...] arrays sharded over (client, data)."""
+        sharding = NamedSharding(self.mesh, P(CLIENT_AXIS, DATA_AXIS))
+        C = self.num_clients
+
+        def put(x):
+            if self._multihost:
+                return jax.make_array_from_process_local_data(
+                    sharding, x, (C,) + x.shape[1:]
+                )
+            return jax.device_put(x, sharding)
+
+        return jax.tree_util.tree_map(put, local_stack)
+
+    def _stage_batches(self, host_batches, lookahead: int = 2):
+        """Assemble host stacks into global device arrays ``lookahead``
+        batches ahead of consumption, so the host batch build + H2D DMA
+        overlap the previous step's compute (the SPMD engine's analogue of
+        ``data.pipeline.prefetch_to_device``; SURVEY §7.1 — the chip must
+        never wait on the host pipeline)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=lookahead)
+        END = object()
+        ERR = object()
+
+        def producer():
+            try:
+                for b in host_batches:
+                    q.put(self._put_local_batch(b))
+            except BaseException as e:  # surface pipeline errors to the consumer
+                q.put((ERR, e))
+                return
+            q.put(END)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            if isinstance(item, tuple) and item[0] is ERR:
+                raise item[1]
+            yield item
+
+    def _to_host(self, x) -> np.ndarray:
+        """Global (possibly non-addressable) array -> full numpy on host.
+
+        Fully-replicated arrays read out locally; client-sharded arrays go
+        through a cross-process allgather (a collective: every process must
+        call this in lockstep for such arrays)."""
+        if self._multihost and not getattr(x, "is_fully_replicated", True):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     # -- data staging ------------------------------------------------------
     def _stacked_train_batches(self, round_idx: int):
-        """Zip per-client iterators into [C, B, ...] host batches, truncated
-        to the minimum step count (heterogeneous client sizes; SURVEY.md
-        §7.3 'Client heterogeneity vs SPMD')."""
+        """Zip the LOCAL client slots' iterators into [C_local, B, ...] host
+        batches, truncated to the global minimum step count (heterogeneous
+        client sizes; SURVEY.md §7.3 'Client heterogeneity vs SPMD' — the
+        truncation semantics are documented in README and pinned by
+        ``test_spmd_heterogeneous_truncation``)."""
         dbg = self.config.debug_steps
+        # global metadata: every process computes the same step count
+        min_steps = min(c.steps_per_epoch for c in self.clients)
         for epoch in range(self.config.federated.local_epochs):
-            its = [c.train_batches(epoch=round_idx * 1000 + epoch) for c in self.clients]
-            step_idx = 0
-            while True:
+            its = [
+                self.clients[i].train_batches(epoch=round_idx * 1000 + epoch)
+                for i in self.local_slots
+            ]
+            for step_idx in range(min_steps):
                 # reference --debug N truncation, per epoch (main.py:275-276,
                 # task_trainer.py:82-83: batches 0..N run)
                 if dbg and step_idx > dbg:
                     break
-                try:
-                    batches = [next(it) for it in its]
-                except StopIteration:
-                    break
-                step_idx += 1
+                batches = [next(it) for it in its]
                 yield {
                     k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
                 }
@@ -443,7 +571,9 @@ class SPMDFederatedTrainer:
         counts = jnp.zeros((self.num_clients,), jnp.int32)
         self.rng, sub = jax.random.split(self.rng)
         rngs = jax.random.split(sub, self.num_clients)
-        return opt, counts, rngs
+        return self._put_client_tree(opt), self._put_global(
+            counts, P(CLIENT_AXIS)
+        ), self._put_global(rngs, P(CLIENT_AXIS))
 
     # -- rounds ------------------------------------------------------------
     def run_round(self, round_idx: int) -> Dict[str, float]:
@@ -454,12 +584,14 @@ class SPMDFederatedTrainer:
         opt, counts, rngs = self._fresh_opt_and_clocks()
         last_metrics = None
         batch_total = self.num_clients * self.config.batch_size
-        for batch in self._stacked_train_batches(round_idx):
+        for batch in self._stage_batches(self._stacked_train_batches(round_idx)):
             self.client_state, opt, counts, rngs, last_metrics = self._spmd_step(
                 self.backbone, self.client_state, opt, counts, rngs, batch
             )
-            if self.metrics is not None:
-                # lazy client-mean scalars; only float()'d every log_every steps
+            if self.metrics is not None and not self._multihost:
+                # lazy client-mean scalars; only float()'d every log_every
+                # steps.  (Multi-host: eager reductions over non-addressable
+                # arrays are collective ops — per-round metrics only.)
                 self.metrics.step(
                     {k: jnp.mean(v) for k, v in last_metrics.items()},
                     batch_total, "spmd",
@@ -468,7 +600,7 @@ class SPMDFederatedTrainer:
         self._last_round_wall_s = time.time() - t0
         if last_metrics is None:
             return {}
-        return {k: np.asarray(v).mean() for k, v in last_metrics.items()}
+        return {k: self._to_host(v).mean() for k, v in last_metrics.items()}
 
     def evaluate_round(self, round_idx: int) -> Dict[str, Any]:
         """Per-client scores [ensemble, adapter_0, adapter_1] like the
@@ -476,26 +608,28 @@ class SPMDFederatedTrainer:
         totals = {m: np.zeros(self.num_clients) for m in self._eval_steps}
         counts = np.array([c.num_eval_examples for c in self.clients], dtype=np.float64)
         dbg = self.config.debug_steps
+        # global step count from metadata so every process (multi-host) runs
+        # the same number of collective eval steps in lockstep
+        n_steps = max(client_eval_steps(c) for c in self.clients)
+        if dbg:
+            n_steps = min(n_steps, dbg + 1)
         for mode, fn in self._eval_steps.items():
-            its = [c.eval_batches() for c in self.clients]
+            its = [self.clients[i].eval_batches() for i in self.local_slots]
             template = None
-            done = [False] * self.num_clients
-            step_idx = 0
-            while True:
-                if dbg and step_idx > dbg:
-                    break
-                step_idx += 1
+            for _ in range(n_steps):
                 batches = []
-                for i, it in enumerate(its):
+                for it in its:
                     try:
                         b = next(it)
                         template = template or b
                     except StopIteration:
-                        done[i] = True
                         b = None
                     batches.append(b)
-                if all(done):
-                    break
+                if template is None:
+                    raise ValueError(
+                        "every process must host at least one client with "
+                        "eval examples (needed to build padding batches)"
+                    )
                 # heterogeneous eval sizes: exhausted clients contribute
                 # all-invalid padding batches (valid mask zero)
                 for i, b in enumerate(batches):
@@ -506,11 +640,12 @@ class SPMDFederatedTrainer:
                 stacked = {
                     k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
                 }
+                gbatch = self._put_local_batch(stacked)
                 if self._banks is not None:
-                    out = fn(self.backbone, self.client_state, *self._banks, stacked)
+                    out = fn(self.backbone, self.client_state, *self._banks, gbatch)
                 else:
-                    out = fn(self.backbone, self.client_state, stacked)
-                totals[mode] += np.asarray(out)
+                    out = fn(self.backbone, self.client_state, gbatch)
+                totals[mode] += self._to_host(out)
         scores = {
             c.task_key: [
                 float(totals[m][i] / counts[i] * 100.0) for m in self._eval_modes
@@ -531,9 +666,16 @@ class SPMDFederatedTrainer:
             return None
         from feddat_tpu.utils.checkpointing import save_federated_state
 
+        if self._multihost and self.process_index != 0:
+            # orbax-style single-writer: process 0 gathers and writes.  All
+            # processes must still participate in the allgather below.
+            jax.tree_util.tree_map(self._to_host, self.client_state)
+            return None
         return save_federated_state(
-            self.checkpoint_dir, round_idx, self.backbone,
-            {"stacked_clients": jax.device_get(self.client_state)}, self.rng,
+            self.checkpoint_dir, round_idx,
+            jax.tree_util.tree_map(self._to_host, self.backbone),
+            {"stacked_clients": jax.tree_util.tree_map(self._to_host, self.client_state)},
+            self.rng,
         )
 
     def try_resume(self) -> int:
@@ -545,10 +687,13 @@ class SPMDFederatedTrainer:
         if restored is None:
             return 0
         rnd, backbone, personal, rng = restored
-        self.backbone = backbone
-        self.client_state = jax.tree_util.tree_map(
-            jnp.asarray, personal["stacked_clients"]
-        )
+        if self._multihost:
+            self.backbone = jax.tree_util.tree_map(
+                lambda x: self._put_global(x, P()), backbone
+            )
+        else:
+            self.backbone = backbone
+        self.client_state = self._put_client_tree(personal["stacked_clients"])
         self.rng = rng
         return rnd + 1
 

@@ -1,0 +1,198 @@
+"""REAL multi-process SPMD federated training over localhost.
+
+The round-2 review found the multi-host data path untestable by the 8-device
+dryrun (all one process).  This test actually runs it: two OS processes, four
+virtual CPU devices each, ``jax.distributed`` over a localhost coordinator
+(Gloo collectives) — the mechanics of a TPU pod launch, minus the ICI.
+
+Each process feeds ONLY its hosted clients' batches (the remote clients'
+iterators are poisoned to raise), the global [C, B, ...] arrays are
+assembled with ``jax.make_array_from_process_local_data``, and the result
+must match a single-process 8-device run of the identical config bit-for-bit
+(up to fp32 collective reassociation).
+
+Reference analogue being replaced: the accelerate multi-process launch
+(``accelerate_config.yaml:1-11``, ``src/train/main.py:362-365``).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+NUM_CLIENTS = 4
+DATA_PARALLEL = 2
+NPROC = 2
+
+
+def _make_clients():
+    from feddat_tpu.data.synthetic import SyntheticVQAClient
+
+    from conftest import TINY_VILT
+
+    return [
+        SyntheticVQAClient(
+            task_key=f"client_{i}",
+            num_train=8,
+            num_eval=4,
+            num_labels=16,
+            vocab_size=TINY_VILT.vocab_size,
+            text_len=TINY_VILT.max_text_len,
+            image_size=TINY_VILT.image_size,
+            batch_size=4,
+            val_batch_size=4,
+            seed=i,
+        )
+        for i in range(NUM_CLIENTS)
+    ]
+
+
+def _make_model_and_cfg(clients):
+    import jax
+
+    from feddat_tpu.configs.core import (
+        FederatedConfig,
+        OptimizerConfig,
+        PEFTMode,
+        TrainConfig,
+    )
+    from feddat_tpu.federated.spmd import FED_HEAD_KEY
+    from feddat_tpu.models.vilt import (
+        TaskHeadSpec,
+        ViltContinualLearner,
+        init_vilt_params,
+    )
+
+    from conftest import TINY_VILT
+
+    model = ViltContinualLearner(TINY_VILT, {FED_HEAD_KEY: TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(
+        model, jax.random.PRNGKey(0), next(clients[0].train_batches(0))
+    )
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1,
+        seed=0,
+    )
+    return model, params, cfg
+
+
+def _flatten_state(client_state):
+    import jax
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, client_state)
+    )
+    return {"/".join(map(str, k)): v for k, v in flat.items()}
+
+
+def worker(proc_id: int, nproc: int, port: int, out_dir: str) -> None:
+    """One process of the multi-host run (invoked via subprocess)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", nproc, proc_id)
+    assert jax.process_count() == nproc
+
+    from feddat_tpu.federated.spmd import SPMDFederatedTrainer
+    from feddat_tpu.parallel.mesh import make_multihost_mesh
+
+    clients = _make_clients()
+    model, params, cfg = _make_model_and_cfg(clients)
+    mesh = make_multihost_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
+
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    assert trainer._multihost and len(trainer.local_slots) == NUM_CLIENTS // nproc
+
+    # poison the REMOTE clients' data iterators: the contract is that this
+    # process never materializes another host's batches
+    def poisoned(*a, **kw):
+        raise AssertionError(
+            f"process {proc_id} iterated a remote client's data"
+        )
+
+    for i, c in enumerate(clients):
+        if i not in trainer.local_slots:
+            c.train_batches = poisoned
+            c.eval_batches = poisoned
+
+    trainer.run_round(0)
+    entry = trainer.evaluate_round(0)
+
+    # allgather the client-sharded bank so process 0 holds the full state.
+    # NOTE: _to_host on sharded arrays is a collective — all processes
+    # iterate in the same (sorted flatten) order.
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(trainer.client_state)
+    state = {
+        "/".join(map(str, k)): trainer._to_host(flat[k]) for k in sorted(flat)
+    }
+    if proc_id == 0:
+        np.savez(os.path.join(out_dir, "mh_state.npz"), **state)
+        with open(os.path.join(out_dir, "mh_scores.json"), "w") as f:
+            json.dump(
+                {"scores": entry["scores"], "local_slots": trainer.local_slots}, f
+            )
+
+
+@pytest.mark.slow
+def test_two_process_spmd_round_matches_single_process(tmp_path):
+    # free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__)), os.path.dirname(__file__)]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__, str(pid), str(NPROC), str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(NPROC)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    # single-process reference run of the identical config (8 devices here)
+    from feddat_tpu.federated.spmd import SPMDFederatedTrainer
+    from feddat_tpu.parallel.mesh import make_mesh
+
+    clients = _make_clients()
+    model, params, cfg = _make_model_and_cfg(clients)
+    mesh = make_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    trainer.run_round(0)
+    entry = trainer.evaluate_round(0)
+    want = _flatten_state(trainer.client_state)
+
+    got = dict(np.load(tmp_path / "mh_state.npz"))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=5e-4, atol=5e-6, err_msg=k
+        )
+    mh = json.load(open(tmp_path / "mh_scores.json"))
+    assert mh["local_slots"] == [0, 1]
+    for task, scores in entry["scores"].items():
+        np.testing.assert_allclose(mh["scores"][task], scores, atol=0.51, err_msg=task)
+
+
+if __name__ == "__main__":
+    worker(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
