@@ -262,6 +262,118 @@ def _measure_albef_rank(batch_size: int = 16, bank: int = 100, k: int = 64,
     return batch_size * iters / dt
 
 
+def _measure_vilt_e2e(dtype: str = "bfloat16", batch_size: int = 48):
+    """END-TO-END round throughput with the REAL host pipeline: on-disk JPEGs
+    decoded + resized + normalized, questions WordPiece-tokenized per batch,
+    double-buffered device staging (``prefetch_to_device``) — the exact
+    pipeline-inside-forward failure mode of the reference
+    (``src/modeling/vilt.py:98-99``) this framework moves off the step path.
+
+    Returns (staged_sps, e2e_sps): the SAME jitted program fed (a) one
+    HBM-resident batch, (b) the live pipeline, so the delta isolates host
+    feeding.  Canvas (384, 384) to match the staged benchmark's sequence
+    length."""
+    import os
+    import tempfile
+
+    import jax
+    from PIL import Image
+
+    from feddat_tpu.data.datasets import VQAExample
+    from feddat_tpu.data.images import make_backend
+    from feddat_tpu.data.pipeline import ViltVQAPipeline, prefetch_to_device
+    from feddat_tpu.data.tokenizer import WordPieceTokenizer
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        batch_size = 8
+    n_images = 256 if on_tpu else 16
+    n_examples = batch_size * (26 if on_tpu else 3)
+
+    step, state, _ = _build(batch_size, dtype)
+
+    vocab_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "vocab30k.txt"
+    )
+    if os.path.isfile(vocab_file):
+        tokenizer = WordPieceTokenizer.from_vocab_file(vocab_file)
+        try:
+            from feddat_tpu import native
+
+            if native.available():
+                tokenizer = native.NativeWordPiece(tokenizer.vocab)
+        except Exception:
+            pass
+    else:
+        tokenizer = WordPieceTokenizer.toy(
+            ["what", "is", "the", "color", "of", "thing", "in", "picture"]
+        )
+
+    rng = np.random.RandomState(0)
+    words = ["what", "is", "the", "color", "of", "thing", "in", "picture",
+             "how", "many", "people", "doing", "wearing", "holding"]
+    with tempfile.TemporaryDirectory() as tmp:
+        img_dir = os.path.join(tmp, "vizwiz", "images")
+        os.makedirs(img_dir)
+        for i in range(n_images):
+            # realistic decode cost: 640x480 JPEG (noise decodes slower than
+            # natural images -> slightly pessimistic host cost)
+            Image.fromarray(
+                rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+            ).save(os.path.join(img_dir, f"img{i}.jpg"), quality=90)
+        examples = [
+            VQAExample(
+                question_id=i,
+                image_id=f"img{i % n_images}.jpg",
+                question=" ".join(words[j] for j in rng.randint(0, len(words), 8)),
+                labels=[int(rng.randint(0, 100))],
+                scores=[1.0],
+                answers=["a"],
+            )
+            for i in range(n_examples)
+        ]
+        backend = make_backend("vizwiz", "bench", tmp)
+        # cache_images: decode+resize once (u8), per-epoch normalize+pad
+        # fused in the native core — the steady-state training config (the
+        # federated loop revisits every client's data each round)
+        pipe = ViltVQAPipeline(
+            examples, backend, tokenizer, num_labels=100,
+            batch_size=batch_size, seed=0, cache_images=True,
+            # match the staged model's shapes (_build): canvas = image_size,
+            # same max_text_len
+            **({"canvas": (384, 384)} if on_tpu
+               else {"canvas": (64, 64), "max_text_len": 16}),
+        )
+
+        # (a) staged: one pipeline batch resident in HBM (same program)
+        staged = jax.device_put(next(pipe.train_batches(0)))
+        for _ in range(3):
+            state, m = step(state, staged)
+        float(m["loss"])  # scalar-readback fence (axon relay)
+        iters = 15
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, staged)
+        float(m["loss"])
+        staged_sps = batch_size * iters / (time.perf_counter() - t0)
+
+        # (b) live cold: first pass decodes + resizes every image from disk
+        n_steps = 0
+        t0 = time.perf_counter()
+        for batch in prefetch_to_device(pipe.train_batches(1), size=2):
+            state, m = step(state, batch)
+            n_steps += 1
+        float(m["loss"])
+        cold_sps = batch_size * n_steps / (time.perf_counter() - t0)
+        # (c) live warm: steady state (u8 cache hot — rounds 2..R of training)
+        t0 = time.perf_counter()
+        for batch in prefetch_to_device(pipe.train_batches(2), size=2):
+            state, m = step(state, batch)
+        float(m["loss"])
+        e2e_sps = batch_size * n_steps / (time.perf_counter() - t0)
+    return staged_sps, e2e_sps, cold_sps
+
+
 def main():
     from feddat_tpu.utils.observability import enable_compilation_cache
 
@@ -291,6 +403,26 @@ def main():
         flush=True,
     )
 
+    # -- end-to-end with the real host pipeline (VERDICT r2 item 3) --------
+    e2e_staged, e2e_live, e2e_cold = _measure_vilt_e2e("bfloat16")
+    print(
+        json.dumps(
+            {
+                "metric": "vilt_dat_e2e_round_samples_per_sec",
+                "value": round(e2e_live, 2),
+                "unit": "samples/s",
+                # same jitted program fed from HBM: the delta isolates the
+                # host pipeline (JPEG decode + resize + tokenize + staging)
+                "vs_baseline": round(e2e_live / e2e_staged, 2),
+                "staged_same_program_samples_per_sec": round(e2e_staged, 2),
+                # first-epoch cost (every image decoded+resized from disk on
+                # this 1-CPU bench host; rounds 2..R run at `value`)
+                "cold_first_epoch_samples_per_sec": round(e2e_cold, 2),
+            }
+        ),
+        flush=True,
+    )
+
     # -- ViLT (flagship metric, LAST line) ----------------------------------
     # per-pass B=48 is the measured optimum for the attn-block + block_save
     # config (B=64: 505, B=48: 508 samples/s)
@@ -311,6 +443,7 @@ def main():
                 # a conservative stand-in for the torch reference, which
                 # cannot run on TPU.  See BASELINE.md / PERF.md.
                 "baseline_samples_per_sec": round(baseline, 2),
+                "e2e_round_samples_per_sec": round(e2e_live, 2),
             }
         )
     )

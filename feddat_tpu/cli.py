@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="storage dtype of attention logits; default float32 "
                         "(reference parity), bfloat16 = +14-16%% throughput; "
                         "defaults to bfloat16 when --dtype bfloat16")
+    p.add_argument("--cache_images", action="store_true",
+                   help="cache decoded+resized images (uint8) across "
+                        "epochs/rounds; per-epoch normalize+pad runs fused in "
+                        "the native core.  Bitwise-identical pixels; pays for "
+                        "itself from round 2 (federated rounds revisit every "
+                        "client's data)")
     p.add_argument("--smoke", action="store_true",
                    help="CI smoke mode: tiny model dimensions + tiny images (functional path only)")
     return p
@@ -139,6 +145,7 @@ def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
         pipe = AlbefVQAPipeline(
             examples, backend, tokenizer, answer_list,
             batch_size=args.batch_size, seed=args.seed, eval_examples=eval_examples,
+            cache_images=args.cache_images,
             **({"image_size": 64, "max_question_len": 12, "max_answer_len": 6}
                if args.smoke else {}),
         )
@@ -147,7 +154,7 @@ def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
     return ViltVQAPipeline(
         examples, backend, tokenizer,
         num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
-        eval_examples=eval_examples,
+        eval_examples=eval_examples, cache_images=args.cache_images,
         **({"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}),
     )
 

@@ -55,6 +55,8 @@ class AlbefVQAPipeline:
         max_ques_words_train: int = 30,
         max_ques_words_eval: int = 50,
         eval_examples: Optional[Sequence[VQAExample]] = None,
+        cache_images: bool = False,
+        cache_budget_bytes: int = 8 << 30,
     ):
         self.examples = list(examples)
         # separate eval split (reference builds distinct loaders); falls back
@@ -76,7 +78,21 @@ class AlbefVQAPipeline:
         self.seed = seed
         self.max_ques_words_train = max_ques_words_train
         self.max_ques_words_eval = max_ques_words_eval
+        self.num_workers = num_workers
         self.pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+        # see ViltVQAPipeline: decode+resize cached as uint8, per-epoch
+        # normalize fused + GIL-free in the native core when available
+        self._cache: Optional[Dict] = {} if cache_images else None
+        self._cache_left = cache_budget_bytes
+        self._native_finalize = None
+        if cache_images:
+            try:
+                from feddat_tpu import native
+
+                if native.available():
+                    self._native_finalize = native.finalize_canvas_batch
+            except Exception:
+                pass
 
     @property
     def num_train_examples(self) -> int:
@@ -90,7 +106,37 @@ class AlbefVQAPipeline:
     def steps_per_epoch(self) -> int:
         return len(self.examples) // self.batch_size
 
+    def _load_u8(self, ex: VQAExample) -> np.ndarray:
+        cached = self._cache.get(ex.image_id)
+        if cached is not None:
+            return cached
+        from feddat_tpu.data.images import albef_resized_u8
+
+        arr = albef_resized_u8(self.backend.load(ex.image_id), self.image_size)
+        if arr.nbytes <= self._cache_left:
+            self._cache[ex.image_id] = arr
+            self._cache_left -= arr.nbytes
+        return arr
+
     def _images(self, batch_ex: List[VQAExample]) -> np.ndarray:
+        if self._cache is not None:
+            if self.pool is not None:
+                u8s = list(self.pool.map(self._load_u8, batch_ex))
+            else:
+                u8s = [self._load_u8(e) for e in batch_ex]
+            from feddat_tpu.data.images import CLIP_MEAN, CLIP_STD
+
+            if self._native_finalize is not None:
+                pixels, _ = self._native_finalize(
+                    u8s, (self.image_size, self.image_size),
+                    CLIP_MEAN.tolist(), CLIP_STD.tolist(),
+                    num_threads=max(1, self.num_workers), with_mask=False,
+                )
+                return pixels
+            return np.stack(
+                [(a.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD for a in u8s]
+            )
+
         def load(ex):
             return process_albef_image(self.backend.load(ex.image_id), self.image_size)
 

@@ -42,30 +42,49 @@ def vilt_resize(img: "Image.Image", shorter: int = 384, longer: int = 640):
     return img.resize((nw, nh), Image.BICUBIC)
 
 
-def process_vilt_image(
-    img: "Image.Image", canvas: Tuple[int, int] = (384, 640)
-) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (pixel_values [H, W, 3] float32 normalized, pixel_mask [H, W])."""
+def vilt_resized_u8(img: "Image.Image", canvas: Tuple[int, int] = (384, 640)) -> np.ndarray:
+    """Decode-side half of the ViLT preprocessing: the conditional
+    shorter-side resize, returned as a [h, w, 3] uint8 array.  This is the
+    expensive, IMAGE-DEPENDENT stage — cacheable across epochs/rounds (the
+    federated loop revisits the same client data every round)."""
     # The reference resizes only when min(side) > 384 (``cocoimages…:108-110``)
     if min(img.size) > 384:
         img = vilt_resize(img)
     elif max(img.size) > canvas[1] or min(img.size) > canvas[0]:
         img = vilt_resize(img)
-    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
-    arr = (arr - VILT_MEAN) / VILT_STD
-    h, w = arr.shape[:2]
+    return np.asarray(img.convert("RGB"), np.uint8)
+
+
+def finalize_vilt_u8(arr: np.ndarray, canvas: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Normalize + pad a resized uint8 image onto the fixed canvas (the
+    per-epoch half; the native ``finalize_canvas_batch`` is the fused batch
+    equivalent, bitwise-identical)."""
+    a = (arr.astype(np.float32) / 255.0 - VILT_MEAN) / VILT_STD
+    h, w = a.shape[:2]
     h, w = min(h, canvas[0]), min(w, canvas[1])
     out = np.zeros((canvas[0], canvas[1], 3), np.float32)
     mask = np.zeros((canvas[0], canvas[1]), np.int32)
-    out[:h, :w] = arr[:h, :w]
+    out[:h, :w] = a[:h, :w]
     mask[:h, :w] = 1
     return out, mask
 
 
+def process_vilt_image(
+    img: "Image.Image", canvas: Tuple[int, int] = (384, 640)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (pixel_values [H, W, 3] float32 normalized, pixel_mask [H, W])."""
+    return finalize_vilt_u8(vilt_resized_u8(img, canvas), canvas)
+
+
+def albef_resized_u8(img: "Image.Image", size: int = 384) -> np.ndarray:
+    """Decode-side half of the ALBEF preprocessing (cacheable; see
+    ``vilt_resized_u8``): exact bicubic resize to (size, size) uint8."""
+    return np.asarray(img.convert("RGB").resize((size, size), Image.BICUBIC), np.uint8)
+
+
 def process_albef_image(img: "Image.Image", size: int = 384) -> np.ndarray:
     """-> pixel_values [size, size, 3] float32, CLIP-normalized."""
-    img = img.convert("RGB").resize((size, size), Image.BICUBIC)
-    arr = np.asarray(img, np.float32) / 255.0
+    arr = albef_resized_u8(img, size).astype(np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
 
 

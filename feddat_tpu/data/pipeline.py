@@ -42,7 +42,17 @@ class ViltVQAPipeline:
         seed: int = 0,
         num_workers: int = 8,
         eval_examples: Optional[Sequence[VQAExample]] = None,
+        cache_images: bool = False,
+        cache_budget_bytes: int = 8 << 30,
     ):
+        """``cache_images``: cache the decoded+resized uint8 image per
+        image_id (the expensive, image-dependent stage) so epochs/rounds
+        after the first pay only the cheap normalize+pad — which runs fused
+        and GIL-free in the native core when available.  The federated loop
+        revisits every client's data each round, so the cache pays for
+        itself in round 2; pixels are bitwise-identical to the uncached
+        path.  ``cache_budget_bytes`` caps the cache (no eviction — new
+        images just stop being cached)."""
         self.examples = list(examples)
         # evaluation runs on its own split (the reference builds separate
         # train/val/test loaders, ``train_vqa_crossvqa.py:166-230``); when no
@@ -55,8 +65,20 @@ class ViltVQAPipeline:
         self.canvas = canvas
         self.batch_size = batch_size
         self.seed = seed
+        self.num_workers = num_workers
         self.pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
         self.task_key = None
+        self._cache: Optional[Dict[Any, np.ndarray]] = {} if cache_images else None
+        self._cache_left = cache_budget_bytes
+        self._native_finalize = None
+        if cache_images:
+            try:
+                from feddat_tpu import native
+
+                if native.available():
+                    self._native_finalize = native.finalize_canvas_batch
+            except Exception:
+                pass
 
     # ClientData protocol ---------------------------------------------------
     @property
@@ -76,6 +98,43 @@ class ViltVQAPipeline:
         pixels, mask = process_vilt_image(img, self.canvas)
         return pixels, mask
 
+    def _load_u8(self, ex: VQAExample) -> np.ndarray:
+        """Cached decode+resize stage -> [h, w, 3] uint8 (see cache_images)."""
+        cached = self._cache.get(ex.image_id)
+        if cached is not None:
+            return cached
+        from feddat_tpu.data.images import vilt_resized_u8
+
+        arr = vilt_resized_u8(self.backend.load(ex.image_id), self.canvas)
+        if arr.nbytes <= self._cache_left:
+            self._cache[ex.image_id] = arr
+            self._cache_left -= arr.nbytes
+        return arr
+
+    def _batch_images(self, batch_ex: List[VQAExample]):
+        """-> (pixels [B, H, W, 3] f32, masks [B, H, W] i32); cached+fused
+        path when cache_images is on, per-image PIL+numpy path otherwise
+        (bitwise-identical outputs)."""
+        if self._cache is None:
+            if self.pool is not None:
+                images = list(self.pool.map(self._load_one, batch_ex))
+            else:
+                images = [self._load_one(e) for e in batch_ex]
+            return np.stack([p for p, _ in images]), np.stack([m for _, m in images])
+        if self.pool is not None:
+            u8s = list(self.pool.map(self._load_u8, batch_ex))
+        else:
+            u8s = [self._load_u8(e) for e in batch_ex]
+        from feddat_tpu.data.images import VILT_MEAN, VILT_STD, finalize_vilt_u8
+
+        if self._native_finalize is not None:
+            return self._native_finalize(
+                u8s, self.canvas, VILT_MEAN.tolist(), VILT_STD.tolist(),
+                num_threads=max(1, self.num_workers),
+            )
+        images = [finalize_vilt_u8(a, self.canvas) for a in u8s]
+        return np.stack([p for p, _ in images]), np.stack([m for _, m in images])
+
     # Optional native fast path: when every image in the batch is decoded to
     # the same raw size, the C++ core resizes+normalizes the whole batch
     # GIL-free (feddat_tpu/native); used by subclasses/custom loaders that
@@ -90,12 +149,7 @@ class ViltVQAPipeline:
         )
 
     def _make_batch(self, batch_ex: List[VQAExample], valid: Optional[np.ndarray] = None):
-        if self.pool is not None:
-            images = list(self.pool.map(self._load_one, batch_ex))
-        else:
-            images = [self._load_one(e) for e in batch_ex]
-        pixels = np.stack([p for p, _ in images])
-        masks = np.stack([m for _, m in images])
+        pixels, masks = self._batch_images(batch_ex)
         ids, attn = self.tokenizer.batch_encode(
             [e.question for e in batch_ex], self.max_text_len
         )

@@ -57,6 +57,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.finalize_canvas_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.wp_create.restype = ctypes.c_void_p
         lib.wp_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int32] * 4
         lib.wp_destroy.argtypes = [ctypes.c_void_p]
@@ -96,6 +101,40 @@ def resize_normalize_batch(
         mean_a.ctypes.data, std_a.ctypes.data, num_threads,
     )
     return out
+
+
+def finalize_canvas_batch(
+    images: Sequence[np.ndarray],
+    canvas: Tuple[int, int],
+    mean: Sequence[float],
+    std: Sequence[float],
+    num_threads: int = 8,
+    with_mask: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Variable-size [h_i, w_i, 3] uint8 images -> zero-padded normalized
+    float32 [N, H, W, 3] batch (+ int32 pixel mask), in one fused GIL-free
+    pass.  Bitwise-equal to the numpy path ((x/255 - mean)/std in f32).
+
+    The per-epoch hot path of the cached image pipeline
+    (``data/pipeline.py``): decode+resize runs once, this runs every epoch."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    n = len(images)
+    H, W = canvas
+    images = [np.ascontiguousarray(im, dtype=np.uint8) for im in images]
+    ptrs = (ctypes.c_void_p * n)(*[im.ctypes.data for im in images])
+    hw = np.asarray([[im.shape[0], im.shape[1]] for im in images], np.int64)
+    out = np.empty((n, H, W, 3), np.float32)
+    mask = np.empty((n, H, W), np.int32) if with_mask else None
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    lib.finalize_canvas_batch(
+        ptrs, hw.ctypes.data, n,
+        out.ctypes.data, mask.ctypes.data if with_mask else None, H, W,
+        mean_a.ctypes.data, std_a.ctypes.data, num_threads,
+    )
+    return out, mask
 
 
 class NativeWordPiece:

@@ -85,6 +85,72 @@ void resize_normalize_batch(const uint8_t* in, int64_t n, int64_t h, int64_t w,
 }
 
 // ---------------------------------------------------------------------------
+// Fused canvas finalize: variable-size u8 images -> normalized float32 batch
+// ---------------------------------------------------------------------------
+// The per-epoch hot path once decoded/resized images are cached: one pass
+// u8 -> (x/255 - mean)/std straight into the zero-padded [n, H, W, 3] canvas
+// plus the [n, H, W] pixel mask.  The 256-entry LUT is built with the exact
+// float32 op sequence numpy uses ((float)p / 255.0f, - mean, / std), so the
+// output is bitwise equal to the Python path.
+//
+// imgs: n pointers to contiguous [h_i, w_i, 3] u8 arrays; hw: [n, 2] int64.
+// Images larger than the canvas are top-left cropped (the ViLT canvas rule,
+// images.py::process_vilt_image).  mask_out may be null (ALBEF: exact-size
+// resize, no mask).
+void finalize_canvas_batch(const uint8_t** imgs, const int64_t* hw, int64_t n,
+                           float* out, int32_t* mask_out, int64_t H, int64_t W,
+                           const float* mean, const float* stddev,
+                           int64_t num_threads) {
+  float lut[3][256];
+  for (int c = 0; c < 3; ++c)
+    for (int p = 0; p < 256; ++p)
+      lut[c][p] = (static_cast<float>(p) / 255.0f - mean[c]) / stddev[c];
+
+  const int64_t out_img = H * W * 3;
+  auto work = [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      const uint8_t* src = imgs[i];
+      const int64_t h = hw[i * 2], w = hw[i * 2 + 1];
+      const int64_t hh = std::min(h, H), ww = std::min(w, W);
+      float* dst = out + i * out_img;
+      int32_t* msk = mask_out ? mask_out + i * H * W : nullptr;
+      for (int64_t y = 0; y < hh; ++y) {
+        const uint8_t* srow = src + y * w * 3;
+        float* drow = dst + y * W * 3;
+        for (int64_t x = 0; x < ww; ++x) {
+          drow[x * 3 + 0] = lut[0][srow[x * 3 + 0]];
+          drow[x * 3 + 1] = lut[1][srow[x * 3 + 1]];
+          drow[x * 3 + 2] = lut[2][srow[x * 3 + 2]];
+        }
+        if (ww < W) std::fill(drow + ww * 3, drow + W * 3, 0.0f);
+        if (msk) {
+          int32_t* mrow = msk + y * W;
+          std::fill(mrow, mrow + ww, 1);
+          if (ww < W) std::fill(mrow + ww, mrow + W, 0);
+        }
+      }
+      if (hh < H) {
+        std::fill(dst + hh * W * 3, dst + out_img, 0.0f);
+        if (msk) std::fill(msk + hh * W, msk + H * W, 0);
+      }
+    }
+  };
+  int64_t nt = std::max<int64_t>(1, std::min(num_threads, n));
+  if (nt == 1) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    int64_t b = t * chunk, e = std::min(n, b + chunk);
+    if (b >= e) break;
+    threads.emplace_back(work, b, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
 // WordPiece tokenizer
 // ---------------------------------------------------------------------------
 struct WordPiece {

@@ -26,5 +26,6 @@ python -m feddat_tpu.cli \
   --remat \
   --remat_policy block_save_nox \
   --attn_impl block \
+  --cache_images \
   --use_fused_dat \
   "$@"

@@ -66,3 +66,83 @@ def test_small_image_not_upscaled():
     img = _rand_img(rng, 100, 80)
     pixels, mask = process_vilt_image(img, canvas=(384, 640))
     assert mask[:80, :100].all() and mask.sum() == 80 * 100
+
+
+def test_cached_pipeline_bitwise_matches_uncached(tmp_path):
+    """cache_images=True (u8 cache + fused finalize, native when available)
+    must produce BITWISE-identical batches to the per-image PIL+numpy path,
+    and identical batches across epochs (warm cache)."""
+    import os
+
+    from PIL import Image
+
+    from feddat_tpu.data.datasets import VQAExample
+    from feddat_tpu.data.images import make_backend
+    from feddat_tpu.data.pipeline import ViltVQAPipeline
+    from feddat_tpu.data.tokenizer import WordPieceTokenizer
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "vizwiz" / "images"
+    os.makedirs(img_dir)
+    sizes = [(480, 640), (300, 200), (384, 384), (640, 480), (100, 700)]
+    for i, (h, w) in enumerate(sizes):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            img_dir / f"img{i}.jpg"
+        )
+    tok = WordPieceTokenizer.toy(["what", "is", "the"])
+    examples = [
+        VQAExample(i, f"img{i % len(sizes)}.jpg", "what is the", [i % 4], [1.0], ["a"])
+        for i in range(10)
+    ]
+    backend = make_backend("vizwiz", "t", str(tmp_path))
+    kw = dict(num_labels=8, batch_size=5, canvas=(128, 160), max_text_len=8, seed=0)
+    plain = ViltVQAPipeline(examples, backend, tok, **kw)
+    cached = ViltVQAPipeline(examples, backend, tok, cache_images=True, **kw)
+    for b0, b1 in zip(plain.train_batches(0), cached.train_batches(0)):
+        for k in b0:
+            np.testing.assert_array_equal(b0[k], b1[k], err_msg=k)
+    # epoch 2: warm cache must reproduce the cold-path batches exactly
+    for b0, b1 in zip(plain.train_batches(1), cached.train_batches(1)):
+        for k in b0:
+            np.testing.assert_array_equal(b0[k], b1[k], err_msg=k)
+    assert len(cached._cache) == len(sizes)
+
+
+def test_cached_albef_pipeline_bitwise_matches_uncached(tmp_path):
+    import os
+
+    from PIL import Image
+
+    from feddat_tpu.data.albef_pipeline import AlbefVQAPipeline
+    from feddat_tpu.data.datasets import VQAExample
+    from feddat_tpu.data.images import make_backend
+    from feddat_tpu.data.tokenizer import WordPieceTokenizer
+
+    rng = np.random.RandomState(1)
+    img_dir = tmp_path / "vizwiz" / "images"
+    os.makedirs(img_dir)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (240, 320, 3), dtype=np.uint8)).save(
+            img_dir / f"img{i}.jpg"
+        )
+    tok = WordPieceTokenizer.toy(["what", "is", "the", "a"])
+    examples = [
+        VQAExample(i, f"img{i % 4}.jpg", "what is the", [0], [1.0], ["a"])
+        for i in range(8)
+    ]
+    backend = make_backend("vizwiz", "t", str(tmp_path))
+    kw = dict(
+        answer_list=["a", "the"], image_size=96, max_question_len=8,
+        max_answer_len=4, batch_size=4, seed=0,
+    )
+    plain = AlbefVQAPipeline(examples, backend, tok, **kw)
+    cached = AlbefVQAPipeline(examples, backend, tok, cache_images=True, **kw)
+    for which in ("train", "eval"):
+        its = (
+            (plain.train_batches(0), cached.train_batches(0))
+            if which == "train"
+            else (plain.eval_batches(), cached.eval_batches())
+        )
+        for b0, b1 in zip(*its):
+            for k in b0:
+                np.testing.assert_array_equal(b0[k], b1[k], err_msg=f"{which}:{k}")
