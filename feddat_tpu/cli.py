@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the native core.  Bitwise-identical pixels; pays for "
                         "itself from round 2 (federated rounds revisit every "
                         "client's data)")
+    p.add_argument("--device_normalize", action="store_true",
+                   help="ship pixels to the chip as RAW uint8 and normalize "
+                        "on-device (4x less host->device traffic; the canvas "
+                        "zero-pad is reproduced exactly via the pixel mask)")
     p.add_argument("--smoke", action="store_true",
                    help="CI smoke mode: tiny model dimensions + tiny images (functional path only)")
     return p
@@ -145,7 +149,7 @@ def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
         pipe = AlbefVQAPipeline(
             examples, backend, tokenizer, answer_list,
             batch_size=args.batch_size, seed=args.seed, eval_examples=eval_examples,
-            cache_images=args.cache_images,
+            cache_images=args.cache_images, pixels_u8=args.device_normalize,
             **({"image_size": 64, "max_question_len": 12, "max_answer_len": 6}
                if args.smoke else {}),
         )
@@ -155,6 +159,7 @@ def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
         examples, backend, tokenizer,
         num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
         eval_examples=eval_examples, cache_images=args.cache_images,
+        pixels_u8=args.device_normalize,
         **({"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}),
     )
 

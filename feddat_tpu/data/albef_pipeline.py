@@ -57,6 +57,7 @@ class AlbefVQAPipeline:
         eval_examples: Optional[Sequence[VQAExample]] = None,
         cache_images: bool = False,
         cache_budget_bytes: int = 8 << 30,
+        pixels_u8: bool = False,
     ):
         self.examples = list(examples)
         # separate eval split (reference builds distinct loaders); falls back
@@ -81,7 +82,9 @@ class AlbefVQAPipeline:
         self.num_workers = num_workers
         self.pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
         # see ViltVQAPipeline: decode+resize cached as uint8, per-epoch
-        # normalize fused + GIL-free in the native core when available
+        # normalize fused + GIL-free in the native core when available;
+        # pixels_u8 ships raw uint8 (model CLIP-normalizes on-chip)
+        self.pixels_u8 = pixels_u8
         self._cache: Optional[Dict] = {} if cache_images else None
         self._cache_left = cache_budget_bytes
         self._native_finalize = None
@@ -107,18 +110,23 @@ class AlbefVQAPipeline:
         return len(self.examples) // self.batch_size
 
     def _load_u8(self, ex: VQAExample) -> np.ndarray:
-        cached = self._cache.get(ex.image_id)
-        if cached is not None:
-            return cached
+        if self._cache is not None:
+            cached = self._cache.get(ex.image_id)
+            if cached is not None:
+                return cached
         from feddat_tpu.data.images import albef_resized_u8
 
         arr = albef_resized_u8(self.backend.load(ex.image_id), self.image_size)
-        if arr.nbytes <= self._cache_left:
+        if self._cache is not None and arr.nbytes <= self._cache_left:
             self._cache[ex.image_id] = arr
             self._cache_left -= arr.nbytes
         return arr
 
     def _images(self, batch_ex: List[VQAExample]) -> np.ndarray:
+        if self.pixels_u8:
+            if self.pool is not None:
+                return np.stack(list(self.pool.map(self._load_u8, batch_ex)))
+            return np.stack([self._load_u8(e) for e in batch_ex])
         if self._cache is not None:
             if self.pool is not None:
                 u8s = list(self.pool.map(self._load_u8, batch_ex))

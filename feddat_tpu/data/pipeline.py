@@ -44,8 +44,14 @@ class ViltVQAPipeline:
         eval_examples: Optional[Sequence[VQAExample]] = None,
         cache_images: bool = False,
         cache_budget_bytes: int = 8 << 30,
+        pixels_u8: bool = False,
     ):
-        """``cache_images``: cache the decoded+resized uint8 image per
+        """``pixels_u8``: emit ``pixel_values`` as RAW uint8 (the model
+        normalizes on-chip and reproduces the canvas zero-pad via the pixel
+        mask — 4x less host->device traffic, numerically equivalent; CLI
+        ``--device_normalize``).
+
+        ``cache_images``: cache the decoded+resized uint8 image per
         image_id (the expensive, image-dependent stage) so epochs/rounds
         after the first pay only the cheap normalize+pad — which runs fused
         and GIL-free in the native core when available.  The federated loop
@@ -68,6 +74,7 @@ class ViltVQAPipeline:
         self.num_workers = num_workers
         self.pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
         self.task_key = None
+        self.pixels_u8 = pixels_u8
         self._cache: Optional[Dict[Any, np.ndarray]] = {} if cache_images else None
         self._cache_left = cache_budget_bytes
         self._native_finalize = None
@@ -99,23 +106,24 @@ class ViltVQAPipeline:
         return pixels, mask
 
     def _load_u8(self, ex: VQAExample) -> np.ndarray:
-        """Cached decode+resize stage -> [h, w, 3] uint8 (see cache_images)."""
-        cached = self._cache.get(ex.image_id)
-        if cached is not None:
-            return cached
+        """Decode+resize stage -> [h, w, 3] uint8 (cached when enabled)."""
+        if self._cache is not None:
+            cached = self._cache.get(ex.image_id)
+            if cached is not None:
+                return cached
         from feddat_tpu.data.images import vilt_resized_u8
 
         arr = vilt_resized_u8(self.backend.load(ex.image_id), self.canvas)
-        if arr.nbytes <= self._cache_left:
+        if self._cache is not None and arr.nbytes <= self._cache_left:
             self._cache[ex.image_id] = arr
             self._cache_left -= arr.nbytes
         return arr
 
     def _batch_images(self, batch_ex: List[VQAExample]):
-        """-> (pixels [B, H, W, 3] f32, masks [B, H, W] i32); cached+fused
-        path when cache_images is on, per-image PIL+numpy path otherwise
-        (bitwise-identical outputs)."""
-        if self._cache is None:
+        """-> (pixels [B, H, W, 3] f32 (or u8 when ``pixels_u8``), masks
+        [B, H, W] i32); cached+fused path when cache_images is on,
+        per-image PIL+numpy path otherwise (bitwise-identical outputs)."""
+        if self._cache is None and not self.pixels_u8:
             if self.pool is not None:
                 images = list(self.pool.map(self._load_one, batch_ex))
             else:
@@ -125,6 +133,18 @@ class ViltVQAPipeline:
             u8s = list(self.pool.map(self._load_u8, batch_ex))
         else:
             u8s = [self._load_u8(e) for e in batch_ex]
+        if self.pixels_u8:
+            # raw u8 canvas + compact [B, 2] (h, w) mask dims: the model
+            # rebuilds the rectangle mask on-device (16 bytes vs an int32
+            # [H, W] plane per image over the host->device link)
+            H, W = self.canvas
+            out = np.zeros((len(u8s), H, W, 3), np.uint8)
+            dims = np.zeros((len(u8s), 2), np.int32)
+            for i, a in enumerate(u8s):
+                h, w = min(a.shape[0], H), min(a.shape[1], W)
+                out[i, :h, :w] = a[:h, :w]
+                dims[i] = (h, w)
+            return out, dims
         from feddat_tpu.data.images import VILT_MEAN, VILT_STD, finalize_vilt_u8
 
         if self._native_finalize is not None:

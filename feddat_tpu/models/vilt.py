@@ -166,6 +166,31 @@ class ViltEncoder(nn.Module):
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
 
+        if pixel_mask is not None and pixel_mask.ndim == 2 and pixel_mask.shape[-1] == 2:
+            # compact mask form: [B, 2] (valid_h, valid_w) dims — the mask is
+            # always a top-left rectangle, so ship 16 bytes/image instead of
+            # a [H, W] int32 plane (28 MB/batch at B=48) and rebuild it here
+            import jax as _jax
+
+            H, W = c.image_size
+            hh = pixel_mask[:, 0][:, None, None]
+            ww = pixel_mask[:, 1][:, None, None]
+            ih = _jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
+            iw = _jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
+            pixel_mask = ((ih < hh) & (iw < ww)).astype(jnp.int32)
+
+        if pixel_values is not None and pixel_values.dtype == jnp.uint8:
+            # RAW-uint8 pixel path (pipeline ``pixels_u8`` / CLI
+            # ``--device_normalize``): 4x less host->device traffic; the
+            # normalize runs on-chip in f32 (identical math to the host
+            # path) and the canvas zero-pad is reproduced exactly by
+            # masking — padded u8 zeros would otherwise normalize to -1.
+            x = pixel_values.astype(jnp.float32) / 255.0
+            x = (x - 0.5) / 0.5  # VILT_MEAN/STD (images.py spec constants)
+            if pixel_mask is not None:
+                x = x * pixel_mask[..., None].astype(x.dtype)
+            pixel_values = x
+
         text = ViltTextEmbeddings(c, self.dtype, name="text_embeddings")(
             input_ids, token_type_ids, deterministic, inputs_embeds
         )

@@ -28,6 +28,17 @@ class VisionTransformer(nn.Module):
         """pixel_values [B, H, W, 3] -> token states [B, 1+N, D]."""
         c = self.cfg
         b = pixel_values.shape[0]
+        if pixel_values.dtype == jnp.uint8:
+            # RAW-uint8 pixel path (see ViltEncoder): CLIP normalization
+            # on-chip, 4x less host->device traffic.  ALBEF resizes to the
+            # exact (384, 384) — no canvas pad, so no mask multiply needed.
+            import numpy as np
+
+            mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+            std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+            pixel_values = (
+                pixel_values.astype(jnp.float32) / 255.0 - mean
+            ) / std
         init = nn.initializers.normal(stddev=0.02)
         x = nn.Conv(
             c.vision_width,

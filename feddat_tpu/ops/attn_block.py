@@ -55,16 +55,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Row-chunk size for the fused-LN f32 temporaries.  LayerNorm is row-local,
+# so chunking rows bounds the peak f32 working set at ~6 x [LN_CHUNK, Dm]
+# regardless of S — this is what lets LN stay fused at ALBEF's S=577 (the
+# whole-S variant overflowed VMEM past S~448, PERF.md).
+LN_CHUNK = 128
+
+
 def _apply_ln(x_raw, gb_ref, ln_eps, out_dtype):
     """Fused pre-LN (fast-variance form, matching flax nn.LayerNorm):
-    x_raw [SP, Dm] -> normalized bf16.  gb_ref: [2, Dm] f32 (scale, bias)."""
-    xr = x_raw.astype(jnp.float32)
-    mu = jnp.mean(xr, axis=1, keepdims=True)
-    var = jnp.maximum(jnp.mean(xr * xr, axis=1, keepdims=True) - mu * mu, 0.0)
-    rstd = jax.lax.rsqrt(var + ln_eps)
+    x_raw [SP, Dm] -> normalized bf16.  gb_ref: [2, Dm] f32 (scale, bias).
+    Processes rows in LN_CHUNK chunks to bound f32 VMEM temporaries."""
     gb = gb_ref[...]
-    xln = (xr - mu) * rstd * gb[0][None, :] + gb[1][None, :]
-    return xln.astype(out_dtype)
+
+    def one(chunk):
+        xr = chunk.astype(jnp.float32)
+        mu = jnp.mean(xr, axis=1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xr * xr, axis=1, keepdims=True) - mu * mu, 0.0)
+        rstd = jax.lax.rsqrt(var + ln_eps)
+        xln = (xr - mu) * rstd * gb[0][None, :] + gb[1][None, :]
+        return xln.astype(out_dtype)
+
+    sp = x_raw.shape[0]
+    if sp <= LN_CHUNK:
+        return one(x_raw)
+    return jnp.concatenate(
+        [one(x_raw[r : r + LN_CHUNK]) for r in range(0, sp, LN_CHUNK)], axis=0
+    )
 
 
 def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref, bo_ref,
@@ -173,16 +190,31 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
         dx = dx + jax.lax.dot_general(dv_s[...], wv_ref[...], nt, preferred_element_type=jnp.float32)
         if ln_eps is not None:
             # dx above is d(loss)/d(LN output); convert through the LN
-            # (frozen scale/bias -> no dgamma/dbeta)
-            xr = x_raw.astype(jnp.float32)
-            mu = jnp.mean(xr, axis=1, keepdims=True)
-            var = jnp.maximum(jnp.mean(xr * xr, axis=1, keepdims=True) - mu * mu, 0.0)
-            rstd = jax.lax.rsqrt(var + ln_eps)
-            xhat = (xr - mu) * rstd
-            dxhat = dx * gb_ref[...][0][None, :]
-            m1 = jnp.mean(dxhat, axis=1, keepdims=True)
-            m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
-            dx = rstd * (dxhat - m1 - xhat * m2)
+            # (frozen scale/bias -> no dgamma/dbeta).  Row-chunked like
+            # _apply_ln to bound the f32 temporaries at long S.
+            gamma = gb_ref[...][0][None, :]
+
+            def ln_bwd_chunk(xc, dxc):
+                xr = xc.astype(jnp.float32)
+                mu = jnp.mean(xr, axis=1, keepdims=True)
+                var = jnp.maximum(jnp.mean(xr * xr, axis=1, keepdims=True) - mu * mu, 0.0)
+                rstd = jax.lax.rsqrt(var + ln_eps)
+                xhat = (xr - mu) * rstd
+                dxhat = dxc * gamma
+                m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+                m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+                return rstd * (dxhat - m1 - xhat * m2)
+
+            if sp <= LN_CHUNK:
+                dx = ln_bwd_chunk(x_raw, dx)
+            else:
+                dx = jnp.concatenate(
+                    [
+                        ln_bwd_chunk(x_raw[r : r + LN_CHUNK], dx[r : r + LN_CHUNK])
+                        for r in range(0, sp, LN_CHUNK)
+                    ],
+                    axis=0,
+                )
         dx_ref[i] = dx.astype(dx_ref.dtype)
 
 

@@ -30,5 +30,6 @@ python -m feddat_tpu.cli \
   --remat_policy block_save_nox \
   --attn_impl block \
   --cache_images \
+  --device_normalize \
   --use_fused_dat \
   "$@"

@@ -146,3 +146,109 @@ def test_cached_albef_pipeline_bitwise_matches_uncached(tmp_path):
         for b0, b1 in zip(*its):
             for k in b0:
                 np.testing.assert_array_equal(b0[k], b1[k], err_msg=f"{which}:{k}")
+
+
+def test_u8_device_normalize_matches_host_normalize(tmp_path):
+    """pixels_u8 pipeline + in-model normalization == host-normalized f32
+    pipeline, through the real model forward (the canvas zero-pad is
+    reproduced by the pixel-mask multiply)."""
+    import os
+
+    import jax
+    from PIL import Image
+
+    from feddat_tpu.data.datasets import VQAExample
+    from feddat_tpu.data.images import make_backend
+    from feddat_tpu.data.pipeline import ViltVQAPipeline
+    from feddat_tpu.data.tokenizer import WordPieceTokenizer
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+
+    from conftest import TINY_VILT
+
+    rng = np.random.RandomState(3)
+    img_dir = tmp_path / "vizwiz" / "images"
+    os.makedirs(img_dir)
+    # one image smaller than the canvas -> real zero-pad region
+    for i, (h, w) in enumerate([(32, 32), (20, 28), (40, 48)]):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            img_dir / f"img{i}.png"
+        )
+    tok = WordPieceTokenizer.toy(["what", "is", "the"])
+    examples = [
+        VQAExample(i, f"img{i % 3}.png", "what is the", [i % 4], [1.0], ["a"])
+        for i in range(4)
+    ]
+    backend = make_backend("vizwiz", "t", str(tmp_path))
+    kw = dict(num_labels=8, batch_size=4, canvas=TINY_VILT.image_size,
+              max_text_len=TINY_VILT.max_text_len, seed=0)
+    f32_pipe = ViltVQAPipeline(examples, backend, tok, **kw)
+    u8_pipe = ViltVQAPipeline(examples, backend, tok, pixels_u8=True, **kw)
+    b_f32 = next(f32_pipe.train_batches(0))
+    b_u8 = next(u8_pipe.train_batches(0))
+    assert b_u8["pixel_values"].dtype == np.uint8
+    # u8 mode ships a compact [B, 2] (h, w) dims mask; check it encodes the
+    # same rectangle the full-plane mask marks
+    assert b_u8["pixel_mask"].shape == (4, 2)
+    for i in range(4):
+        h, w = b_u8["pixel_mask"][i]
+        full = np.zeros_like(b_f32["pixel_mask"][i])
+        full[:h, :w] = 1
+        np.testing.assert_array_equal(b_f32["pixel_mask"][i], full)
+
+    model = ViltContinualLearner(TINY_VILT, {"t": TaskHeadSpec(num_labels=8)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), b_f32)
+
+    @jax.jit
+    def logits(b):
+        _, out = model.apply({"params": params}, "t", b, adapter_mode="ensemble",
+                             deterministic=True)
+        return out
+
+    np.testing.assert_allclose(
+        np.asarray(logits(b_f32)), np.asarray(logits(b_u8)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_u8_albef_matches_host_normalize(tmp_path):
+    import os
+
+    import jax
+    from PIL import Image
+
+    from feddat_tpu.data.albef_pipeline import AlbefVQAPipeline
+    from feddat_tpu.data.datasets import VQAExample
+    from feddat_tpu.data.images import make_backend
+    from feddat_tpu.data.tokenizer import WordPieceTokenizer
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from test_albef import TINY_ALBEF
+
+    rng = np.random.RandomState(4)
+    img_dir = tmp_path / "vizwiz" / "images"
+    os.makedirs(img_dir)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (50, 70, 3), dtype=np.uint8)).save(
+            img_dir / f"img{i}.png"
+        )
+    tok = WordPieceTokenizer.toy(["what", "is", "the", "a"])
+    examples = [
+        VQAExample(i, f"img{i % 2}.png", "what is the", [0], [1.0], ["a"])
+        for i in range(4)
+    ]
+    backend = make_backend("vizwiz", "t", str(tmp_path))
+    kw = dict(answer_list=["a", "the"], image_size=TINY_ALBEF.image_res,
+              max_question_len=6, max_answer_len=4, batch_size=4, seed=0)
+    b_f32 = next(AlbefVQAPipeline(examples, backend, tok, **kw).train_batches(0))
+    b_u8 = next(
+        AlbefVQAPipeline(examples, backend, tok, pixels_u8=True, **kw).train_batches(0)
+    )
+    assert b_u8["pixel_values"].dtype == np.uint8
+    model = AlbefModel(TINY_ALBEF)
+    params = init_albef_params(model, jax.random.PRNGKey(0), b_f32)
+
+    @jax.jit
+    def loss(b):
+        out, _ = model.apply({"params": params}, b, adapter_mode="ensemble",
+                             deterministic=True)
+        return out
+
+    np.testing.assert_allclose(float(loss(b_f32)), float(loss(b_u8)), rtol=1e-5)
