@@ -342,10 +342,11 @@ class PreLNLayer(nn.Module):
         block_ok = _attn_block_eligible(
             self.attn_impl, bias, self.lora, self.attention_dropout, deterministic
         )
-        # LN fusion only at short-to-medium S: the f32 LN temporaries
-        # overflow VMEM past S~448 (measured: S=448 compiles, S=512 and
-        # ALBEF's S=577 fail) — there the kernel takes pre-normalized input.
-        if block_ok and self.fuse_ln and x.shape[1] <= 448:
+        # LN fusion cap: the whole-S f32 LN temporaries used to overflow VMEM
+        # past S~448; the kernel now row-chunks them (ops/attn_block.py
+        # LN_CHUNK), verified to compile and win at ALBEF's S=577.  Cap kept
+        # as a guard for untested longer-S territory.
+        if block_ok and self.fuse_ln and x.shape[1] <= 640:
             ln_scale, ln_bias = _LayerNormParams(name="norm_before")(self.hidden_size)
             attn_out = attn(
                 x, bias=bias, deterministic=deterministic,
