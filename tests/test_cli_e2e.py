@@ -581,3 +581,35 @@ def test_create_model_rejects_block_kernel_for_backbone_training_modes():
     # frozen-backbone modes still build
     model, _ = create_model("vilt", heads, PEFTMode.DAT, attn_impl="block")
     assert model is not None
+
+
+def test_cli_cache_and_device_normalize_smoke(fake_task):
+    """--cache_images + --device_normalize through the full CLI path (u8
+    pixels + compact dims masks into the jitted step)."""
+    from feddat_tpu.cli import main
+
+    data_root, vocab_file, tmp_path = fake_task
+    out_dir = tmp_path / "logs_u8"
+    rc = main(
+        [
+            "--encoder_name", "vilt",
+            "--optimizer_mode", "dat",
+            "--ordered_cl_tasks", "testtask",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(out_dir),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--smoke",
+            "--cache_images",
+            "--device_normalize",
+        ]
+    )
+    assert rc == 0
+    histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
+    history = json.load(open(out_dir / histories[0]))
+    assert history and "testtask" in history[-1]["scores"]
