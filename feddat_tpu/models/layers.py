@@ -342,11 +342,13 @@ class PreLNLayer(nn.Module):
         block_ok = _attn_block_eligible(
             self.attn_impl, bias, self.lora, self.attention_dropout, deterministic
         )
-        # LN fusion cap: the whole-S f32 LN temporaries used to overflow VMEM
-        # past S~448; the kernel now row-chunks them (ops/attn_block.py
-        # LN_CHUNK), verified to compile and win at ALBEF's S=577.  Cap kept
-        # as a guard for untested longer-S territory.
-        if block_ok and self.fuse_ln and x.shape[1] <= 640:
+        # LN fusion cap (measured, PERF.md "fused-LN at S=577"): with
+        # row-chunked LN temporaries + the hybrid XLA LN backward the TRAIN
+        # program now compiles at S=592, but gains nothing (106.7 vs 106.8
+        # samples/s) and the EVAL program's fwd kernel still overflows
+        # scoped VMEM by 240 KB — so the fusion stays gated to the regime
+        # where it measured +2% (ViLT, S<=281).
+        if block_ok and self.fuse_ln and x.shape[1] <= 448:
             ln_scale, ln_bias = _LayerNormParams(name="norm_before")(self.hidden_size)
             attn_out = attn(
                 x, bias=bias, deterministic=deterministic,

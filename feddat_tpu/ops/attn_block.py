@@ -140,11 +140,11 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
             g, wo_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
+        bqkv = bqkv_ref[...]
         # recompute q/k/v (flash-style: cheaper than storing them)
         q = jax.lax.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
         k = jax.lax.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
         v = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
-        bqkv = bqkv_ref[...]
         q = (q + bqkv[0][None, :]).astype(x.dtype)
         k = (k + bqkv[1][None, :]).astype(x.dtype)
         v = (v + bqkv[2][None, :]).astype(x.dtype)
@@ -206,15 +206,17 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
                 return rstd * (dxhat - m1 - xhat * m2)
 
             if sp <= LN_CHUNK:
-                dx = ln_bwd_chunk(x_raw, dx)
+                dx_ref[i] = ln_bwd_chunk(x_raw, dx).astype(dx_ref.dtype)
             else:
-                dx = jnp.concatenate(
-                    [
-                        ln_bwd_chunk(x_raw[r : r + LN_CHUNK], dx[r : r + LN_CHUNK])
-                        for r in range(0, sp, LN_CHUNK)
-                    ],
-                    axis=0,
-                )
+                # write each chunk straight into the output ref: a
+                # concatenate would hold a SECOND full [SP, Dm] f32 buffer
+                # live next to dx (1.8 MB at S=592 — exactly the scoped-VMEM
+                # overflow margin)
+                for r in range(0, sp, LN_CHUNK):
+                    dx_ref[i, r : r + LN_CHUNK] = ln_bwd_chunk(
+                        x_raw[r : r + LN_CHUNK], dx[r : r + LN_CHUNK]
+                    ).astype(dx_ref.dtype)
+            continue
         dx_ref[i] = dx.astype(dx_ref.dtype)
 
 
@@ -312,6 +314,14 @@ def _attn_block_fwd(x, wq, wk, wv, wo, bqkv, bo, gb, bias,
     return out, (xp, brow, ctx, lse, wq, wk, wv, wo, bqkv, bo, gb, bias, x.shape)
 
 
+# Longest S at which the BACKWARD kernel may keep the LN conversion fused
+# (the fused bwd's stack overflows the 16 MB scoped-VMEM limit past ~S=448;
+# beyond it the LN halves run in XLA around the compile-proven non-LN
+# kernel — the forward stays fully fused either way, which is where the
+# block_save residual win lives: `attn_x` aliases the residual-stream input).
+LN_BWD_FUSED_MAX_S = 448
+
+
 def _attn_block_bwd(num_heads, scale, block_b, interpret, ln_eps, res, g):
     xp, brow, ctx, lse, wq, wk, wv, wo, bqkv, bo, gb, bias, xshape = res
     b, s, dm = xshape
@@ -323,9 +333,23 @@ def _attn_block_bwd(num_heads, scale, block_b, interpret, ln_eps, res, g):
         gp = jnp.pad(g, ((0, bp - b), (0, sp - s), (0, 0)))
     grid = (bp // block_b,)
     gb_arr = gb if gb is not None else jnp.zeros((2, dm), jnp.float32)
+    ln_outside = ln_eps is not None and sp > LN_BWD_FUSED_MAX_S
+    if ln_outside:
+        # recompute the (frozen) LN in XLA; feed the normalized input to the
+        # non-LN kernel, convert dx back through the LN below
+        xr = xp.astype(jnp.float32)
+        mu = jnp.mean(xr, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xr * xr, axis=-1, keepdims=True) - mu * mu, 0.0)
+        rstd = jax.lax.rsqrt(var + ln_eps)
+        xhat = (xr - mu) * rstd
+        kernel_x = (xhat * gb_arr[0] + gb_arr[1]).astype(xp.dtype)
+        kern_ln_eps = None
+    else:
+        kernel_x = xp
+        kern_ln_eps = ln_eps
     wspec = pl.BlockSpec((dm, dm), lambda i: (0, 0))
     dx = pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale, ln_eps=ln_eps),
+        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale, ln_eps=kern_ln_eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, sp, dm), lambda i: (i, 0, 0)),
@@ -345,7 +369,13 @@ def _attn_block_bwd(num_heads, scale, block_b, interpret, ln_eps, res, g):
             pltpu.VMEM((sp, dm), g.dtype),
         ],
         interpret=interpret,
-    )(xp, wq, wk, wv, wo, bqkv, gb_arr, brow, ctx, lse, gp)
+    )(kernel_x, wq, wk, wv, wo, bqkv, gb_arr, brow, ctx, lse, gp)
+    if ln_outside:
+        dxf = dx.astype(jnp.float32)
+        dxhat = dxf * gb_arr[0]
+        m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = (rstd * (dxhat - m1 - xhat * m2)).astype(dx.dtype)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, (wq, wk, wv, wo, bqkv, bo))
     dgb = None if gb is None else jnp.zeros_like(gb)
     dbias = None if bias is None else jnp.zeros_like(bias)

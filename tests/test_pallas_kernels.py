@@ -301,3 +301,31 @@ def test_attn_block_fused_ln_matches_composed_reference():
     gk = jax.grad(lambda x: jnp.sum(attn_block(x, *ws, bqkv, bo, gb, bias, 4, None, 1, True, eps) ** 2))(x)
     gr = jax.grad(lambda x: jnp.sum(_block_reference(ln(x), ws, bqkv, bo, bias, 4) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
+
+
+def test_attn_block_fused_ln_long_s_hybrid_bwd():
+    """S > LN_BWD_FUSED_MAX_S routes the LN backward OUTSIDE the kernel
+    (hybrid path used at ALBEF's S=577); gradients must still match the
+    composed reference exactly."""
+    from feddat_tpu.ops import attn_block as ab
+
+    rng = np.random.RandomState(16)
+    s = ab.LN_BWD_FUSED_MAX_S + 32  # forces the hybrid branch
+    x, ws, bqkv, bo, bias = _block_inputs(rng, b=1, s=s, dm=32, h=4)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(32), jnp.float32)
+    beta = jnp.asarray(0.05 * rng.randn(32), jnp.float32)
+    gb = jnp.stack([gamma, beta])
+    eps = 1e-6
+
+    def ln(x):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+    out = ab.attn_block(x, *ws, bqkv, bo, gb, bias, 4, None, 1, True, eps)
+    ref = _block_reference(ln(x), ws, bqkv, bo, bias, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    gk = jax.grad(lambda x: jnp.sum(ab.attn_block(x, *ws, bqkv, bo, gb, bias, 4, None, 1, True, eps) ** 2))(x)
+    gr = jax.grad(lambda x: jnp.sum(_block_reference(ln(x), ws, bqkv, bo, bias, 4) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
