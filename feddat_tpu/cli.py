@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the native core.  Bitwise-identical pixels; pays for "
                         "itself from round 2 (federated rounds revisit every "
                         "client's data)")
+    p.add_argument("--spmd_full_epochs", action="store_true",
+                   help="SPMD engine: run each round to the LARGEST client's "
+                        "step count with no-op-gated updates for exhausted "
+                        "clients (exact reference full-epoch semantics for "
+                        "heterogeneous client sizes; default truncates to the "
+                        "smallest — see README)")
     p.add_argument("--device_normalize", action="store_true",
                    help="ship pixels to the chip as RAW uint8 and normalize "
                         "on-device (4x less host->device traffic; the canvas "
@@ -567,6 +573,7 @@ def main(argv=None) -> int:
             family="albef" if is_albef else "vilt",
             answer_banks=answer_banks if is_albef else None,
             metric="accuracy" if is_classification else "vqa_score",
+            full_epochs=args.spmd_full_epochs,
         )
         history = trainer.run()
     else:

@@ -82,9 +82,18 @@ class SPMDFederatedTrainer:
         rank_k: int = 64,
         metric: str = "vqa_score",
         pad_token_id: int = 0,
+        full_epochs: bool = False,
     ):
         """``use_fused`` selects the single-ensemble-pass fused DAT core
         (exact when encoder dropout is off; +14% measured on ViLT).
+
+        ``full_epochs``: run each round to the LARGEST client's step count
+        (the reference's full-epoch-per-client loop, ``main.py:466-503``)
+        instead of truncating to the smallest.  Exhausted clients ride along
+        with gated (no-op) updates and their own schedule horizons, so the
+        result is numerically identical to the sequential engine even with
+        heterogeneous client sizes (``test_spmd_full_epochs_*``).  Default
+        off: min-steps truncation keeps every mesh slot doing useful work.
 
         ``family``: ``"vilt"`` (classification head + VQA-score/accuracy
         eval) or ``"albef"`` (LM loss + rank-answer eval over per-client
@@ -175,9 +184,17 @@ class SPMDFederatedTrainer:
                 lambda x: self._put_global(x, P()), self.backbone
             )
 
-        steps_per_epoch = min(c.steps_per_epoch for c in self.clients)
+        self.full_epochs = full_epochs
+        agg = max if full_epochs else min
+        steps_per_epoch = agg(c.steps_per_epoch for c in self.clients)
         self.steps_per_round = steps_per_epoch * config.federated.local_epochs
-        max_steps = min(c.steps_per_epoch for c in self.clients) * config.num_epochs
+        max_steps = agg(c.steps_per_epoch for c in self.clients) * config.num_epochs
+        # per-client schedule horizons (sequential parity: engine.py builds
+        # steps_per_epoch * num_epochs per client); consumed by the cores
+        # through the batch's _sched_total in full-epochs mode
+        self._sched_totals = np.array(
+            [c.steps_per_epoch * config.num_epochs for c in self.clients], np.float32
+        )
 
         if config.peft_mode != PEFTMode.DAT:
             adapter_mode = "adapter" if config.peft_mode == PEFTMode.ADAPTER else "none"
@@ -265,14 +282,34 @@ class SPMDFederatedTrainer:
             state = TrainState(params=params, opt_states=opt_states, sched_count=sched_count, rng=rng)
             new_state, metrics = core(state, batch)
             new_client = extract_client(new_state.params)
+            new_opt, new_count, new_rng = (
+                new_state.opt_states, new_state.sched_count, new_state.rng
+            )
+            if "_step_valid" in batch:
+                # full-epochs mode: this slot's client is already exhausted
+                # this epoch — gate EVERY state advance to a no-op so the
+                # step matches the sequential engine exactly (params, Adam
+                # moments, schedule clock, and the client rng chain all stay
+                # put; the compute itself runs on a padding batch).
+                keep = batch["_step_valid"][0] > 0
+                gate = lambda new, old: jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(keep, n, o), new, old
+                )
+                new_client = gate(new_client, client_part)
+                new_opt = gate(new_opt, opt_states)
+                new_count = jnp.where(keep, new_count, sched_count)
+                new_rng = jnp.where(keep, new_rng, rng)
+                metrics = jax.tree_util.tree_map(
+                    lambda m: m * batch["_step_valid"][0], metrics
+                )
             expand = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
             # metrics: mean over data axis so all slots agree, then [1] for client axis
             metrics = jax.lax.pmean(metrics, DATA_AXIS)
             return (
                 expand(new_client),
-                expand(new_state.opt_states),
-                new_state.sched_count[None],
-                new_state.rng[None],
+                expand(new_opt),
+                new_count[None],
+                new_rng[None],
                 expand(metrics),
             )
 
@@ -542,21 +579,55 @@ class SPMDFederatedTrainer:
         ``test_spmd_heterogeneous_truncation``)."""
         dbg = self.config.debug_steps
         # global metadata: every process computes the same step count
-        min_steps = min(c.steps_per_epoch for c in self.clients)
+        agg = max if self.full_epochs else min
+        round_steps = agg(c.steps_per_epoch for c in self.clients)
         for epoch in range(self.config.federated.local_epochs):
             its = [
                 self.clients[i].train_batches(epoch=round_idx * 1000 + epoch)
                 for i in self.local_slots
             ]
-            for step_idx in range(min_steps):
+            last = [None] * len(its)
+            for step_idx in range(round_steps):
                 # reference --debug N truncation, per epoch (main.py:275-276,
                 # task_trainer.py:82-83: batches 0..N run)
                 if dbg and step_idx > dbg:
                     break
-                batches = [next(it) for it in its]
-                yield {
+                if not self.full_epochs:
+                    batches = [next(it) for it in its]
+                    yield {
+                        k: np.stack([b[k] for b in batches], axis=0)
+                        for k in batches[0]
+                    }
+                    continue
+                # full-epochs: exhausted clients repeat their last batch with
+                # a zero step-valid flag — the jitted step gates their state
+                # advance to a no-op (sequential-engine parity)
+                batches, valid = [], []
+                for j, it in enumerate(its):
+                    try:
+                        b = next(it)
+                        last[j] = b
+                        valid.append(1.0)
+                    except StopIteration:
+                        b = last[j]
+                        valid.append(0.0)
+                    batches.append(b)
+                if any(b is None for b in batches):
+                    # a client with zero batches this epoch: pad from any
+                    # live client's batch (shapes are uniform across slots)
+                    template = next(b for b in batches if b is not None)
+                    batches = [template if b is None else b for b in batches]
+                stacked = {
                     k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
                 }
+                B = next(iter(stacked.values())).shape[1]
+                stacked["_step_valid"] = np.repeat(
+                    np.asarray(valid, np.float32)[:, None], B, axis=1
+                )
+                stacked["_sched_total"] = np.repeat(
+                    self._sched_totals[np.asarray(self.local_slots)][:, None], B, axis=1
+                )
+                yield stacked
 
     def _fresh_opt_and_clocks(self):
         template = self._merge_full(

@@ -34,8 +34,28 @@ from feddat_tpu.peft.partition import (
     trainable_roles,
 )
 from feddat_tpu.train.losses import kd_kl_loss
-from feddat_tpu.train.optim import adamw_direction, apply_direction, polynomial_schedule
+from feddat_tpu.train.optim import (
+    adamw_direction,
+    apply_direction,
+    polynomial_schedule,
+    polynomial_schedule_dyn,
+)
 from feddat_tpu.train.state import TrainState
+
+
+def _make_lr_at(opt_cfg: OptimizerConfig, max_steps: int):
+    """lr(count, batch): the static schedule, unless the batch carries a
+    per-slot ``_sched_total`` (SPMD full-epochs mode: every client keeps its
+    own horizon inside one jitted program — trace-time branch)."""
+    schedule = polynomial_schedule(opt_cfg, max_steps)
+    dyn = polynomial_schedule_dyn(opt_cfg)
+
+    def lr_at(count, batch):
+        if "_sched_total" in batch:
+            return dyn(count, batch["_sched_total"].reshape(-1)[0])
+        return schedule(count)
+
+    return lr_at
 
 # forward(params, batch, adapter_mode, dropout_rng) -> (task_loss, logits)
 ForwardFn = Callable[[Dict[str, Any], Dict[str, Any], str, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
@@ -154,7 +174,7 @@ def dat_step_core(
     replacement for the reference's DDP allreduce,
     ``task_trainer.py:302,323``)."""
     tx = adamw_direction(opt_cfg)
-    schedule = polynomial_schedule(opt_cfg, max_steps)
+    lr_at = _make_lr_at(opt_cfg, max_steps)
     P = partitioner
 
     def maybe_pmean(tree):
@@ -184,7 +204,7 @@ def dat_step_core(
             loss1, argnums=(0, 1), has_aux=True
         )(shared, head)
         grads1 = maybe_pmean(grads1)
-        lr1 = schedule(state.sched_count)
+        lr1 = lr_at(state.sched_count, batch)
         new_shared, opt_shared = apply_direction(tx, grads1[0], state.opt_states["shared"], shared, lr1)
         head, opt_head = apply_direction(tx, grads1[1], state.opt_states["head"], head, lr1)
         params = P.merge_into(P.merge_into(params, new_shared), head)
@@ -203,7 +223,7 @@ def dat_step_core(
             loss0, argnums=(0, 1), has_aux=True
         )(local, head)
         grads0 = maybe_pmean(grads0)
-        lr0 = schedule(state.sched_count + 1)
+        lr0 = lr_at(state.sched_count + 1, batch)
         new_local, opt_local = apply_direction(tx, grads0[0], state.opt_states["local"], local, lr0)
         head, opt_head = apply_direction(tx, grads0[1], opt_head, head, lr0)
         params = P.merge_into(P.merge_into(params, new_local), head)
@@ -273,7 +293,7 @@ def dat_step_core_fused(
       task_loss_fn(logits, batch) -> scalar task loss
     """
     tx = adamw_direction(opt_cfg)
-    schedule = polynomial_schedule(opt_cfg, max_steps)
+    lr_at = _make_lr_at(opt_cfg, max_steps)
     P = partitioner
 
     def maybe_pmean(tree):
@@ -309,7 +329,7 @@ def dat_step_core_fused(
             shared, head
         )
         grads1 = maybe_pmean(grads1)
-        lr1 = schedule(state.sched_count)
+        lr1 = lr_at(state.sched_count, batch)
         new_shared, opt_shared = apply_direction(tx, grads1[0], state.opt_states["shared"], shared, lr1)
         head, opt_head = apply_direction(tx, grads1[1], state.opt_states["head"], head, lr1)
         params = P.merge_into(P.merge_into(params, new_shared), head)
@@ -325,7 +345,7 @@ def dat_step_core_fused(
         l0, (g_head, g_pooled) = jax.value_and_grad(loss0, argnums=(0, 1))(head, pooled)
         (g_local,) = enc_vjp(g_pooled)
         g_local, g_head = maybe_pmean((g_local, g_head))
-        lr0 = schedule(state.sched_count + 1)
+        lr0 = lr_at(state.sched_count + 1, batch)
         new_local, opt_local = apply_direction(tx, g_local, state.opt_states["local"], local, lr0)
         head, opt_head = apply_direction(tx, g_head, opt_head, head, lr0)
         params = P.merge_into(P.merge_into(params, new_local), head)
@@ -529,7 +549,7 @@ def plain_step_core(
     state (e.g. ALBEF momentum twins) is threaded through ``state.aux``.
     """
     tx = adamw_direction(opt_cfg)
-    schedule = polynomial_schedule(opt_cfg, max_steps)
+    lr_at = _make_lr_at(opt_cfg, max_steps)
     P = partitioner
     paths = P.shared_paths | P.head_paths
 
@@ -564,7 +584,7 @@ def plain_step_core(
                 if p in gflat:
                     gflat[p] = gflat[p] * m.astype(gflat[p].dtype)
             grads = _tu.unflatten_dict(gflat)
-        lr = schedule(state.sched_count)
+        lr = lr_at(state.sched_count, batch)
         new_trainable, opt_state = apply_direction(
             tx, grads, state.opt_states["trainable"], trainable, lr
         )

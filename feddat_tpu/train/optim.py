@@ -49,6 +49,25 @@ def polynomial_schedule(cfg: OptimizerConfig, max_steps: int) -> Callable[[jnp.n
     return schedule
 
 
+def polynomial_schedule_dyn(cfg: OptimizerConfig) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """:func:`polynomial_schedule` with ``max_steps`` as a TRACED value —
+    the SPMD full-epochs mode runs every client in one jitted program but
+    each client keeps its own schedule horizon (sequential parity:
+    ``engine.py`` builds per-client ``steps_per_epoch * num_epochs``)."""
+
+    def schedule(count, max_steps):
+        count = jnp.asarray(count, jnp.float32)
+        max_steps = jnp.asarray(max_steps, jnp.float32)
+        warmup = jnp.floor(max_steps * cfg.warmup_ratio)
+        warm = count / jnp.maximum(1.0, warmup)
+        remaining = jnp.maximum(0.0, (max_steps - count) / jnp.maximum(1.0, max_steps - warmup))
+        decay = cfg.lr_end + (cfg.lr - cfg.lr_end) * remaining**cfg.power
+        lr = jnp.where(count < warmup, cfg.lr * warm, decay)
+        return jnp.where(count >= max_steps, cfg.lr_end, lr)
+
+    return schedule
+
+
 def _decay_mask(params) -> Any:
     flat = traverse_util.flatten_dict(params)
     mask = {k: (str(k[-1]) != "bias") for k in flat}

@@ -460,3 +460,86 @@ def test_spmd_debug_steps_truncation():
     entry = trainer.evaluate_round(0)
     for scores in entry["scores"].values():
         assert all(0.0 <= s <= 100.0 for s in scores)
+
+
+def test_spmd_full_epochs_matches_sequential_heterogeneous():
+    """full_epochs=True: heterogeneous clients run their FULL epochs (the
+    reference's per-client loop, main.py:466-503) — exhausted clients are
+    no-op-gated, each client keeps its own schedule horizon, and the result
+    matches a per-client sequential replay exactly."""
+    sizes = [8, 16]  # 2 vs 4 steps at batch 4
+    clients = [
+        SyntheticVQAClient(
+            task_key=f"client_{i}",
+            num_train=sizes[i],
+            num_eval=4,
+            num_labels=16,
+            vocab_size=TINY_VILT.vocab_size,
+            text_len=TINY_VILT.max_text_len,
+            image_size=TINY_VILT.image_size,
+            batch_size=4,
+            val_batch_size=4,
+            seed=i,
+        )
+        for i in range(2)
+    ]
+    model = ViltContinualLearner(TINY_VILT, {FED_HEAD_KEY: TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), next(clients[0].train_batches(0)))
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3, warmup_ratio=0.25),  # nonzero warmup:
+        # exercises the per-client dynamic schedule horizons
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1,
+        seed=0,
+    )
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh, full_epochs=True)
+
+    stacked = list(trainer._stacked_train_batches(0))
+    assert len(stacked) == max(c.steps_per_epoch for c in clients) == 4
+    # client 0 is valid for its 2 steps then gated
+    np.testing.assert_array_equal(
+        np.array([b["_step_valid"][0, 0] for b in stacked]), [1, 1, 0, 0]
+    )
+    np.testing.assert_array_equal(
+        np.array([b["_step_valid"][1, 0] for b in stacked]), [1, 1, 1, 1]
+    )
+
+    trainer.run_round(0)
+    spmd_flat = traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, trainer.client_state)
+    )
+
+    # sequential replay: each client runs its FULL epoch with its OWN
+    # schedule horizon (engine.py semantics)
+    from feddat_tpu.peft.partition import teacher_refresh
+
+    part = Partitioner(params, FED_HEAD_KEY, PEFTMode.DAT)
+    client_parts = []
+    for i, c in enumerate(clients):
+        step = make_dat_train_step(
+            make_vilt_forward(model, FED_HEAD_KEY), part, cfg.optimizer,
+            max_steps=c.steps_per_epoch * cfg.num_epochs, donate=False,
+        )
+        p = teacher_refresh(params)
+        state = init_train_state(p, part, cfg.optimizer, jax.random.PRNGKey(7 + i))
+        for b in c.train_batches(epoch=0):
+            state, _ = step(state, b)
+        flat = traverse_util.flatten_dict(state.params)
+        client_parts.append({k: flat[k] for k in trainer.client_paths})
+    for k in client_parts[0]:
+        ours = [np.asarray(client_parts[0][k]), np.asarray(client_parts[1][k])]
+        if k in part.shared_paths:
+            expected = 0.5 * ours[0] + 0.5 * ours[1]
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), expected, rtol=2e-4, atol=2e-5,
+                    err_msg=str(k),
+                )
+        else:
+            for c in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(spmd_flat[k][c]), ours[c], rtol=2e-4, atol=2e-5,
+                    err_msg=str(k),
+                )
