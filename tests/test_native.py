@@ -48,3 +48,36 @@ def test_native_resize_identity_when_same_size():
     imgs = np.full((1, 8, 8, 3), 128, np.uint8)
     out = native.resize_normalize_batch(imgs, (8, 8), [0.0, 0.0, 0.0], [1.0, 1.0, 1.0])
     np.testing.assert_allclose(out, 128 / 255.0, atol=1e-6)
+
+
+def test_finalize_canvas_batch_direct():
+    """Direct contract test of the fused native finalize: variable-size u8
+    images -> normalized f32 canvas + mask, bitwise equal to numpy."""
+    native = pytest.importorskip("feddat_tpu.native")
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(0)
+    mean, std = [0.5, 0.4, 0.3], [0.5, 0.6, 0.7]
+    H, W = 48, 64
+    imgs = [
+        rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        for (h, w) in [(48, 64), (20, 30), (60, 80), (48, 10)]
+    ]
+    out, mask = native.finalize_canvas_batch(imgs, (H, W), mean, std, num_threads=2)
+    assert out.shape == (4, H, W, 3) and mask.shape == (4, H, W)
+    m = np.asarray(mean, np.float32)
+    s = np.asarray(std, np.float32)
+    for i, a in enumerate(imgs):
+        h, w = min(a.shape[0], H), min(a.shape[1], W)
+        want = np.zeros((H, W, 3), np.float32)
+        want[:h, :w] = (a[:h, :w].astype(np.float32) / np.float32(255.0) - m) / s
+        wmask = np.zeros((H, W), np.int32)
+        wmask[:h, :w] = 1
+        np.testing.assert_array_equal(out[i], want)
+        np.testing.assert_array_equal(mask[i], wmask)
+    # no-mask variant (ALBEF: exact-size resize)
+    out2, mask2 = native.finalize_canvas_batch(
+        imgs[:1], (H, W), mean, std, with_mask=False
+    )
+    assert mask2 is None
+    np.testing.assert_array_equal(out2[0], out[0])
