@@ -93,13 +93,22 @@ def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref, bo_ref,
         x = x_ref[i]  # [SP, Dm] bf16
         if ln_eps is not None:
             x = _apply_ln(x, gb_ref, ln_eps, x.dtype)
-        q = jax.lax.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
-        k = jax.lax.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
-        v = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
         bqkv = bqkv_ref[...]  # [3, Dm] f32
-        q = (q + bqkv[0][None, :]).astype(x.dtype)
-        k = (k + bqkv[1][None, :]).astype(x.dtype)
-        v = (v + bqkv[2][None, :]).astype(x.dtype)
+        # dot -> +bias -> bf16 cast per projection so each f32 accumulator
+        # dies before the next dot: peak stack 1x instead of 3x [SP, Dm] f32
+        # (the 2 MB that used to tip S=592 over the 16 MB scoped-VMEM limit)
+        q = (
+            jax.lax.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+            + bqkv[0][None, :]
+        ).astype(x.dtype)
+        k = (
+            jax.lax.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+            + bqkv[1][None, :]
+        ).astype(x.dtype)
+        v = (
+            jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+            + bqkv[2][None, :]
+        ).astype(x.dtype)
         brow = bias_ref[i, 0].astype(jnp.float32)  # [SP]
         # per-head results are written straight into the ctx output block
         # (VMEM) — no concat, so peak VMEM stays ~one [SP, SP] tile per head
@@ -141,13 +150,21 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
         bqkv = bqkv_ref[...]
-        # recompute q/k/v (flash-style: cheaper than storing them)
-        q = jax.lax.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
-        k = jax.lax.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
-        v = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
-        q = (q + bqkv[0][None, :]).astype(x.dtype)
-        k = (k + bqkv[1][None, :]).astype(x.dtype)
-        v = (v + bqkv[2][None, :]).astype(x.dtype)
+        # recompute q/k/v (flash-style: cheaper than storing them); see the
+        # fwd kernel: interleaved dot->cast keeps only ONE f32 accumulator
+        # live at a time
+        q = (
+            jax.lax.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+            + bqkv[0][None, :]
+        ).astype(x.dtype)
+        k = (
+            jax.lax.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+            + bqkv[1][None, :]
+        ).astype(x.dtype)
+        v = (
+            jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+            + bqkv[2][None, :]
+        ).astype(x.dtype)
         brow = bias_ref[i, 0].astype(jnp.float32)
         ctx = ctx_ref[i]
         # per-head d q/k/v go into VMEM scratch slices (no concat — see fwd)
@@ -220,6 +237,17 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
         dx_ref[i] = dx.astype(dx_ref.dtype)
 
 
+def _vmem_params(sp: int, dm: int, block_b: int):
+    """Raise Mosaic's scoped-VMEM budget for long-S grids.  The 16 MiB
+    default is a compiler soft limit, not the hardware (v5e has 128 MiB of
+    VMEM); the S=592 working set (resident weights + double-buffered
+    windows + per-head f32 tiles) measures 16.2-18.3 MB — give those grids
+    a 64 MiB ceiling and leave short-S kernels on the default."""
+    if sp <= 448:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _prep(x, bias, block_b: int):
     """Pad S to a sublane multiple and B to a block multiple; compact bias."""
     b, s, dm = x.shape
@@ -270,6 +298,7 @@ def _fwd_call(x, wq, wk, wv, wo, bqkv, bo, gb, bias, num_heads, scale,
             jax.ShapeDtypeStruct((bp, sp, dm), x.dtype),
             jax.ShapeDtypeStruct((bp, num_heads, sp), jnp.float32),
         ),
+        compiler_params=_vmem_params(sp, dm, block_b),
         interpret=interpret,
     )(xp, wq, wk, wv, wo, bqkv, bo, gb, brow)
     return out[:b, :s], (xp, brow, ctx, lse)
@@ -368,6 +397,7 @@ def _attn_block_bwd(num_heads, scale, block_b, interpret, ln_eps, res, g):
             pltpu.VMEM((sp, dm), g.dtype),
             pltpu.VMEM((sp, dm), g.dtype),
         ],
+        compiler_params=_vmem_params(sp, dm, block_b),
         interpret=interpret,
     )(kernel_x, wq, wk, wv, wo, bqkv, gb_arr, brow, ctx, lse, gp)
     if ln_outside:
