@@ -377,6 +377,91 @@ def _measure_vilt_e2e(dtype: str = "bfloat16", batch_size: int = 48):
     return staged_sps, e2e_sps, cold_sps
 
 
+def _measure_albef_e2e(batch_size: int = 16):
+    """ALBEF end-to-end round with the real host pipeline (decode + resize +
+    tokenize + staging; u8 pixels, warm image cache) vs the SAME program fed
+    one staged batch.  Returns (staged_sps, live_sps)."""
+    import os
+    import tempfile
+
+    import jax
+    from PIL import Image
+
+    from feddat_tpu.data.albef_pipeline import AlbefVQAPipeline
+    from feddat_tpu.data.datasets import VQAExample
+    from feddat_tpu.data.images import make_backend
+    from feddat_tpu.data.pipeline import prefetch_to_device
+    from feddat_tpu.data.tokenizer import WordPieceTokenizer
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        batch_size = 4
+    n_images = 128 if on_tpu else 8
+    n_steps_total = 16 if on_tpu else 3
+
+    model, params, step, state, _ = _build_albef(batch_size, "bfloat16")
+    vocab_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "vocab30k.txt"
+    )
+    if on_tpu and os.path.isfile(vocab_file):
+        tokenizer = WordPieceTokenizer.from_vocab_file(vocab_file)
+        try:
+            from feddat_tpu import native
+
+            if native.available():
+                tokenizer = native.NativeWordPiece(tokenizer.vocab)
+        except Exception:
+            pass
+    else:
+        tokenizer = WordPieceTokenizer.toy(
+            ["what", "is", "the", "color", "of", "thing", "in", "picture"]
+        )
+    rng = np.random.RandomState(0)
+    words = ["what", "is", "the", "color", "of", "thing", "in", "picture"]
+    with tempfile.TemporaryDirectory() as tmp:
+        img_dir = os.path.join(tmp, "vizwiz", "images")
+        os.makedirs(img_dir)
+        for i in range(n_images):
+            Image.fromarray(
+                rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+            ).save(os.path.join(img_dir, f"img{i}.jpg"), quality=90)
+        examples = [
+            VQAExample(
+                i, f"img{i % n_images}.jpg",
+                " ".join(words[j] for j in rng.randint(0, len(words), 6)),
+                [int(rng.randint(0, 100))], [1.0], ["a"],
+            )
+            for i in range(batch_size * n_steps_total)
+        ]
+        backend = make_backend("vizwiz", "bench", tmp)
+        pipe = AlbefVQAPipeline(
+            examples, backend, tokenizer, answer_list=["a"] * 100,
+            batch_size=batch_size, seed=0, cache_images=True, pixels_u8=True,
+            **({} if on_tpu else {"image_size": 64, "max_question_len": 8,
+                                  "max_answer_len": 6}),
+        )
+        staged = jax.device_put(next(pipe.train_batches(0)))
+        for _ in range(3):
+            state, m = step(state, staged)
+        float(m["loss"])  # scalar-readback fence (axon relay)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, m = step(state, staged)
+        float(m["loss"])
+        staged_sps = batch_size * 10 / (time.perf_counter() - t0)
+        n = 0
+        for b in prefetch_to_device(pipe.train_batches(1), size=2):
+            state, m = step(state, b)
+            n += 1
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for b in prefetch_to_device(pipe.train_batches(2), size=2):
+            state, m = step(state, b)
+        float(m["loss"])
+        live_sps = batch_size * n / (time.perf_counter() - t0)
+    return staged_sps, live_sps
+
+
 def main():
     from feddat_tpu.utils.observability import enable_compilation_cache
 
@@ -392,6 +477,7 @@ def main():
     albef_base = _measure_albef_train(2, "float32", warmup=2, iters=6)
     rank_qps = _measure_albef_rank(batch_size=16 if on_tpu else 2,
                                    bank=100, k=64 if on_tpu else 8)
+    albef_e2e_staged, albef_e2e_live = _measure_albef_e2e()
     print(
         json.dumps(
             {
@@ -401,6 +487,10 @@ def main():
                 "vs_baseline": round(albef_tuned / albef_base, 2),
                 "baseline_samples_per_sec": round(albef_base, 2),
                 "rank_answer_questions_per_sec": round(rank_qps, 2),
+                # end-to-end round with the real host pipeline (u8 pixels,
+                # warm image cache) vs the same program fed from HBM
+                "e2e_round_samples_per_sec": round(albef_e2e_live, 2),
+                "e2e_staged_same_program_samples_per_sec": round(albef_e2e_staged, 2),
             }
         ),
         flush=True,
