@@ -93,7 +93,52 @@ def _flatten_state(client_state):
     return {"/".join(map(str, k)): v for k, v in flat.items()}
 
 
-def worker(proc_id: int, nproc: int, port: int, out_dir: str) -> None:
+def _make_albef_clients():
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+
+    return [
+        SyntheticAlbefClient(
+            task_key=f"client_{i}", num_train=8, num_eval=4, num_answers=8,
+            vocab_size=64, question_len=6, answer_len=4, image_size=(32, 32),
+            batch_size=4, seed=i,
+        )
+        for i in range(NUM_CLIENTS)
+    ]
+
+
+def _make_albef_model_and_cfg(clients):
+    import dataclasses
+
+    import jax
+
+    from feddat_tpu.configs.core import (
+        FederatedConfig,
+        OptimizerConfig,
+        PEFTMode,
+        TrainConfig,
+    )
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    acfg = dataclasses.replace(
+        TINY_ALBEF,
+        bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.0, attention_dropout=0.0),
+    )
+    model = AlbefModel(acfg)
+    params = init_albef_params(
+        model, jax.random.PRNGKey(0), next(clients[0].train_batches(0))
+    )
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1,
+        seed=0,
+    )
+    return model, params, cfg
+
+
+def worker(proc_id: int, nproc: int, port: int, out_dir: str, family: str = "vilt") -> None:
     """One process of the multi-host run (invoked via subprocess)."""
     import jax
 
@@ -104,11 +149,22 @@ def worker(proc_id: int, nproc: int, port: int, out_dir: str) -> None:
     from feddat_tpu.federated.spmd import SPMDFederatedTrainer
     from feddat_tpu.parallel.mesh import make_multihost_mesh
 
-    clients = _make_clients()
-    model, params, cfg = _make_model_and_cfg(clients)
+    if family == "albef":
+        clients = _make_albef_clients()
+        model, params, cfg = _make_albef_model_and_cfg(clients)
+    else:
+        clients = _make_clients()
+        model, params, cfg = _make_model_and_cfg(clients)
     mesh = make_multihost_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
 
-    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    kwargs = {}
+    if family == "albef":
+        kwargs = dict(
+            family="albef",
+            answer_banks={c.task_key: (c.answer_ids, c.answer_mask) for c in clients},
+            rank_k=4,
+        )
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh, **kwargs)
     assert trainer._multihost and len(trainer.local_slots) == NUM_CLIENTS // nproc
 
     # poison the REMOTE clients' data iterators: the contract is that this
@@ -143,8 +199,7 @@ def worker(proc_id: int, nproc: int, port: int, out_dir: str) -> None:
             )
 
 
-@pytest.mark.slow
-def test_two_process_spmd_round_matches_single_process(tmp_path):
+def _run_two_process(tmp_path, family: str):
     # free port for the coordinator
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -159,7 +214,8 @@ def test_two_process_spmd_round_matches_single_process(tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, __file__, str(pid), str(NPROC), str(port), str(tmp_path)],
+            [sys.executable, __file__, str(pid), str(NPROC), str(port),
+             str(tmp_path), family],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -170,6 +226,25 @@ def test_two_process_spmd_round_matches_single_process(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
+
+def _compare_with_single_process(tmp_path, trainer):
+    trainer.run_round(0)
+    entry = trainer.evaluate_round(0)
+    want = _flatten_state(trainer.client_state)
+    got = dict(np.load(tmp_path / "mh_state.npz"))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=5e-4, atol=5e-6, err_msg=k)
+    mh = json.load(open(tmp_path / "mh_scores.json"))
+    assert mh["local_slots"] == [0, 1]
+    for task, scores in entry["scores"].items():
+        np.testing.assert_allclose(mh["scores"][task], scores, atol=0.51, err_msg=task)
+
+
+@pytest.mark.slow
+def test_two_process_spmd_round_matches_single_process(tmp_path):
+    _run_two_process(tmp_path, "vilt")
+
     # single-process reference run of the identical config (8 devices here)
     from feddat_tpu.federated.spmd import SPMDFederatedTrainer
     from feddat_tpu.parallel.mesh import make_mesh
@@ -178,21 +253,30 @@ def test_two_process_spmd_round_matches_single_process(tmp_path):
     model, params, cfg = _make_model_and_cfg(clients)
     mesh = make_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
     trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
-    trainer.run_round(0)
-    entry = trainer.evaluate_round(0)
-    want = _flatten_state(trainer.client_state)
+    _compare_with_single_process(tmp_path, trainer)
 
-    got = dict(np.load(tmp_path / "mh_state.npz"))
-    assert set(got) == set(want)
-    for k in want:
-        np.testing.assert_allclose(
-            got[k], want[k], rtol=5e-4, atol=5e-6, err_msg=k
-        )
-    mh = json.load(open(tmp_path / "mh_scores.json"))
-    assert mh["local_slots"] == [0, 1]
-    for task, scores in entry["scores"].items():
-        np.testing.assert_allclose(mh["scores"][task], scores, atol=0.51, err_msg=task)
+
+@pytest.mark.slow
+def test_two_process_albef_spmd_round_matches_single_process(tmp_path):
+    """ALBEF family across two REAL processes: additionally exercises the
+    answer-bank global assembly (P(client)-sharded [C, N, La] banks built
+    from process-local shards) and the in-shard rank-answer eval."""
+    _run_two_process(tmp_path, "albef")
+
+    from feddat_tpu.federated.spmd import SPMDFederatedTrainer
+    from feddat_tpu.parallel.mesh import make_mesh
+
+    clients = _make_albef_clients()
+    model, params, cfg = _make_albef_model_and_cfg(clients)
+    mesh = make_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
+    trainer = SPMDFederatedTrainer(
+        model, params, clients, cfg, mesh, family="albef",
+        answer_banks={c.task_key: (c.answer_ids, c.answer_mask) for c in clients},
+        rank_k=4,
+    )
+    _compare_with_single_process(tmp_path, trainer)
 
 
 if __name__ == "__main__":
-    worker(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    worker(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+           sys.argv[5] if len(sys.argv) > 5 else "vilt")
