@@ -295,7 +295,9 @@ def _measure_vilt_e2e(dtype: str = "bfloat16", batch_size: int = 48):
     vocab_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "vocab30k.txt"
     )
-    if os.path.isfile(vocab_file):
+    # CPU smoke builds a vocab_size=1000 model — the 30k vocab's ids would
+    # silently clamp in the embedding gather; use the toy tokenizer there
+    if on_tpu and os.path.isfile(vocab_file):
         tokenizer = WordPieceTokenizer.from_vocab_file(vocab_file)
         try:
             from feddat_tpu import native

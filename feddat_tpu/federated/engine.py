@@ -186,32 +186,19 @@ class FederatedTrainer:
         from feddat_tpu.train.losses import bce_with_logits_vqa
         from feddat_tpu.train.trainers import check_fused_dropout
 
-        check_fused_dropout(model)
         from feddat_tpu.models.albef import AlbefModel
 
         if isinstance(model, AlbefModel):
-            from feddat_tpu.train.trainers import albef_fused_task_loss
+            # single source of truth for the fused-ALBEF contract
+            # (warns about dropout itself)
+            from feddat_tpu.train.trainers import make_albef_fused_dat_step
 
-            labels = label_params(params)
-            _, frozen_rest_a = split_by_roles(params, labels, frozenset({"head"}))
-
-            def encode_a(p, b, mode, rng):
-                return model.apply(
-                    {"params": p}, b, adapter_mode=mode, deterministic=True,
-                    method=AlbefModel.encode_train,
-                )
-
-            def head_fn_a(h, hidden):
-                return model.apply(
-                    {"params": merge(h, frozen_rest_a)}, hidden,
-                    method=AlbefModel.apply_cls,
-                )
-
-            return make_dat_train_step_fused(
-                encode_a, head_fn_a, albef_fused_task_loss(), part, opt_cfg,
-                max_steps, donate=False,
+            step, _ = make_albef_fused_dat_step(
+                model, params, opt_cfg, max_steps, donate=False, part=part
             )
+            return step
 
+        check_fused_dropout(model)
         labels = label_params(params)
         _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
 

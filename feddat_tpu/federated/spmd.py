@@ -299,9 +299,12 @@ class SPMDFederatedTrainer:
                 new_opt = gate(new_opt, opt_states)
                 new_count = jnp.where(keep, new_count, sched_count)
                 new_rng = jnp.where(keep, new_rng, rng)
-                metrics = jax.tree_util.tree_map(
-                    lambda m: m * batch["_step_valid"][0], metrics
-                )
+                v0 = batch["_step_valid"][0]
+                metrics = jax.tree_util.tree_map(lambda m: m * v0, metrics)
+                # weight channel so metric means average over VALID clients
+                # only (an exhausted client's zeroed loss must not bias the
+                # reported round mean toward zero)
+                metrics["_valid"] = v0
             expand = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
             # metrics: mean over data axis so all slots agree, then [1] for client axis
             metrics = jax.lax.pmean(metrics, DATA_AXIS)
@@ -539,24 +542,45 @@ class SPMDFederatedTrainer:
         q: "queue.Queue" = queue.Queue(maxsize=lookahead)
         END = object()
         ERR = object()
+        stop = threading.Event()  # set when the consumer abandons the stream
+
+        def offer(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in host_batches:
-                    q.put(self._put_local_batch(b))
+                    if not offer(self._put_local_batch(b)):
+                        return  # consumer gone: drop staged work, exit
             except BaseException as e:  # surface pipeline errors to the consumer
-                q.put((ERR, e))
+                offer((ERR, e))
                 return
-            q.put(END)
+            offer(END)
 
         threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is END:
-                break
-            if isinstance(item, tuple) and item[0] is ERR:
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    break
+                if isinstance(item, tuple) and item[0] is ERR:
+                    raise item[1]
+                yield item
+        finally:
+            # a mid-round exception (or early generator close) must not leave
+            # the producer blocked on q.put pinning staged device batches
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def _to_host(self, x) -> np.ndarray:
         """Global (possibly non-addressable) array -> full numpy on host.
@@ -664,14 +688,33 @@ class SPMDFederatedTrainer:
                 # steps.  (Multi-host: eager reductions over non-addressable
                 # arrays are collective ops — per-round metrics only.)
                 self.metrics.step(
-                    {k: jnp.mean(v) for k, v in last_metrics.items()},
-                    batch_total, "spmd",
+                    self._metric_means(last_metrics), batch_total, "spmd"
                 )
         self.client_state = self._fedavg(self.client_state)
         self._last_round_wall_s = time.time() - t0
         if last_metrics is None:
             return {}
-        return {k: self._to_host(v).mean() for k, v in last_metrics.items()}
+        host = {k: self._to_host(v) for k, v in last_metrics.items()}
+        w = host.pop("_valid", None)
+        denom = float(max(1.0, w.sum())) if w is not None else None
+        return {
+            k: (v.sum() / denom if denom is not None else v.mean())
+            for k, v in host.items()
+        }
+
+    @staticmethod
+    def _metric_means(last_metrics):
+        """Per-metric client means; full-epochs rounds carry a ``_valid``
+        weight channel so exhausted (no-op-gated) clients don't bias the
+        mean toward zero."""
+        if "_valid" in last_metrics:
+            cnt = jnp.maximum(1.0, jnp.sum(last_metrics["_valid"]))
+            return {
+                k: jnp.sum(v) / cnt
+                for k, v in last_metrics.items()
+                if k != "_valid"
+            }
+        return {k: jnp.mean(v) for k, v in last_metrics.items()}
 
     def evaluate_round(self, round_idx: int) -> Dict[str, Any]:
         """Per-client scores [ensemble, adapter_0, adapter_1] like the
@@ -755,6 +798,25 @@ class SPMDFederatedTrainer:
         from feddat_tpu.utils.checkpointing import restore_federated_state
 
         restored = restore_federated_state(self.checkpoint_dir)
+        if self._multihost:
+            # all processes MUST agree on the resume round before entering
+            # the collective round loop — a per-host checkpoint dir (or a
+            # partially visible one) would otherwise desync the processes'
+            # collective sequences and deadlock at the first psum/allgather
+            from jax.experimental import multihost_utils
+
+            rnd_local = np.asarray(
+                [-1 if restored is None else restored[0]], np.int32
+            )
+            rounds = np.asarray(
+                multihost_utils.process_allgather(rnd_local, tiled=True)
+            ).reshape(-1)
+            if not np.all(rounds == rounds[0]):
+                raise ValueError(
+                    f"processes disagree on the checkpoint round {rounds.tolist()}: "
+                    "--checkpoint_dir must be one SHARED filesystem path "
+                    "visible to every host (process 0 writes, all read)"
+                )
         if restored is None:
             return 0
         rnd, backbone, personal, rng = restored

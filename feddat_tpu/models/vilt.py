@@ -185,8 +185,10 @@ class ViltEncoder(nn.Module):
             # normalize runs on-chip in f32 (identical math to the host
             # path) and the canvas zero-pad is reproduced exactly by
             # masking — padded u8 zeros would otherwise normalize to -1.
+            from feddat_tpu.data.images import VILT_MEAN, VILT_STD
+
             x = pixel_values.astype(jnp.float32) / 255.0
-            x = (x - 0.5) / 0.5  # VILT_MEAN/STD (images.py spec constants)
+            x = (x - VILT_MEAN) / VILT_STD
             if pixel_mask is not None:
                 x = x * pixel_mask[..., None].astype(x.dtype)
             pixel_values = x

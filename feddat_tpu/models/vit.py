@@ -32,13 +32,11 @@ class VisionTransformer(nn.Module):
             # RAW-uint8 pixel path (see ViltEncoder): CLIP normalization
             # on-chip, 4x less host->device traffic.  ALBEF resizes to the
             # exact (384, 384) — no canvas pad, so no mask multiply needed.
-            import numpy as np
+            from feddat_tpu.data.images import CLIP_MEAN, CLIP_STD
 
-            mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-            std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
             pixel_values = (
-                pixel_values.astype(jnp.float32) / 255.0 - mean
-            ) / std
+                pixel_values.astype(jnp.float32) / 255.0 - CLIP_MEAN
+            ) / CLIP_STD
         init = nn.initializers.normal(stddev=0.02)
         x = nn.Conv(
             c.vision_width,

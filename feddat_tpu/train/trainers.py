@@ -119,18 +119,22 @@ def check_fused_dropout(model) -> float:
     return live
 
 
-def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: int = 0, donate: bool = False):
+def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: int = 0, donate: bool = False, part=None):
     """ALBEF fused DAT step: one ensemble encoder+decoder-backbone pass per
     batch (only the ``cls`` LM head changes between DAT stages ① and ③).
     Exact when dropout is off; ALBEF's default dropout is 0.1, so use this
-    for throughput-oriented runs or set dropout to 0 for exactness."""
+    for throughput-oriented runs or set dropout to 0 for exactness.
+
+    ``part``: an existing :class:`Partitioner` to reuse (the sequential
+    engine passes its per-client one); default builds the SPMD 'fed' one."""
     from feddat_tpu.configs.core import PEFTMode
     from feddat_tpu.models.albef import AlbefModel
     from feddat_tpu.peft.partition import label_params, merge, split_by_roles
     from feddat_tpu.train.dat import Partitioner, make_dat_train_step_fused
 
     check_fused_dropout(model)
-    part = Partitioner(params, "fed", PEFTMode.DAT)
+    if part is None:
+        part = Partitioner(params, "fed", PEFTMode.DAT)
     labels = label_params(params)
     _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
 
