@@ -1,0 +1,106 @@
+"""Tensor-parallel (model axis) sharding: numerics + actual distribution.
+
+SURVEY §2.7's "(+ optional model axis for larger backbones)": Megatron-style
+column/row layout expressed through jax.sharding only, collectives inserted
+by GSPMD.  Verified on the virtual 8-device CPU mesh (data=2 x model=4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from feddat_tpu.parallel.tp import (
+    MODEL_AXIS,
+    make_tp_mesh,
+    shard_params_tp,
+    tp_forward,
+    tp_spec_for,
+)
+
+from conftest import TINY_VILT, tiny_batch
+
+
+def _setup():
+    from feddat_tpu.federated.spmd import FED_HEAD_KEY
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+
+    model = ViltContinualLearner(TINY_VILT, {"t": TaskHeadSpec(num_labels=16)})
+    batch = tiny_batch(np.random.RandomState(0), batch_size=4)
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    return model, params, batch
+
+
+def test_tp_specs_cover_the_transformer_stacks():
+    _, params, _ = _setup()
+    flat = traverse_util.flatten_dict(params)
+    sharded_paths = [
+        "/".join(map(str, p)) for p, v in flat.items()
+        if MODEL_AXIS in jax.tree_util.tree_leaves(tuple(tp_spec_for(p, v)))
+    ]
+    # every layer's attention projections + FFN must be TP-sharded
+    assert any("attention/query/dense/kernel" in p for p in sharded_paths)
+    assert any("attention/out/kernel" in p for p in sharded_paths)
+    assert any("mlp/intermediate/kernel" in p for p in sharded_paths)
+    assert any("mlp/output/kernel" in p for p in sharded_paths)
+    # trainable PEFT partitions and norms stay replicated
+    assert not any("adapter" in p for p in sharded_paths)
+    assert not any("norm" in p for p in sharded_paths)
+    assert not any("task_" in p for p in sharded_paths)
+
+
+def test_tp_forward_matches_single_device():
+    model, params, batch = _setup()
+
+    # single-device reference
+    ref = model.apply(
+        {"params": params}, "t", batch, adapter_mode="ensemble", deterministic=True
+    )[1]
+
+    mesh = make_tp_mesh(model_parallel=4, data_parallel=2)
+    sharded = shard_params_tp(params, mesh)
+
+    # params are ACTUALLY distributed: a column-parallel kernel's shard
+    # holds 1/4 of the output features
+    flat = traverse_util.flatten_dict(sharded)
+    for p, v in flat.items():
+        j = "/".join(map(str, p))
+        if j.endswith("mlp/intermediate/kernel"):
+            shard = v.addressable_shards[0].data
+            assert shard.shape[-1] == v.shape[-1] // 4, (j, shard.shape)
+        if j.endswith("mlp/output/kernel"):
+            shard = v.addressable_shards[0].data
+            assert shard.shape[-2] == v.shape[-2] // 4, (j, shard.shape)
+
+    fn, place_batch = tp_forward(model, mesh, task_key="t")
+    out = fn(sharded, place_batch(batch))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_tp_forward_albef():
+    import dataclasses
+
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    acfg = dataclasses.replace(
+        TINY_ALBEF,
+        bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.0, attention_dropout=0.0),
+    )
+    client = SyntheticAlbefClient(
+        task_key="c", num_train=8, num_eval=4, num_answers=8, vocab_size=64,
+        question_len=6, answer_len=4, image_size=(32, 32), batch_size=4, seed=0,
+    )
+    model = AlbefModel(acfg)
+    batch = next(client.train_batches(0))
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch)
+    ref = model.apply(
+        {"params": params}, batch, adapter_mode="ensemble", deterministic=True
+    )[0]
+
+    mesh = make_tp_mesh(model_parallel=4, data_parallel=2)
+    sharded = shard_params_tp(params, mesh)
+    fn, place_batch = tp_forward(model, mesh)
+    out = fn(sharded, place_batch(batch))
+    np.testing.assert_allclose(float(out), float(ref), rtol=2e-5)
