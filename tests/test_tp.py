@@ -104,3 +104,46 @@ def test_tp_forward_albef():
     fn, place_batch = tp_forward(model, mesh)
     out = fn(sharded, place_batch(batch))
     np.testing.assert_allclose(float(out), float(ref), rtol=2e-5)
+
+
+def test_tp_training_step_by_placement():
+    """TP composes with the existing train steps by PLACEMENT alone: shard
+    the frozen backbone over the model axis (that's where the memory is),
+    keep the trainable PEFT partitions replicated, run the standard DAT
+    step — GSPMD partitions the program and the result matches the
+    replicated run.  (The Pallas block kernel is exempt: custom calls
+    don't auto-partition — use attn_impl='auto' with TP.)"""
+    from feddat_tpu.configs.core import OptimizerConfig, PEFTMode
+    from feddat_tpu.train.dat import Partitioner, init_train_state, make_dat_train_step
+    from feddat_tpu.train.forwards import make_vilt_forward
+
+    model, params, batch = _setup()
+    forward = make_vilt_forward(model, "t")
+    part = Partitioner(params, "t", PEFTMode.DAT)
+    opt = OptimizerConfig(lr=5e-3)
+    step = make_dat_train_step(forward, part, opt, max_steps=10, donate=False)
+
+    # replicated reference: two steps
+    s_ref = init_train_state(params, part, opt, jax.random.PRNGKey(3))
+    for _ in range(2):
+        s_ref, m_ref = step(s_ref, batch)
+
+    # TP: backbone sharded, trainables replicated (tp_spec_for already
+    # keeps adapters/heads replicated)
+    mesh = make_tp_mesh(model_parallel=4, data_parallel=2)
+    s_tp = init_train_state(params, part, opt, jax.random.PRNGKey(3))
+    s_tp = s_tp.replace(params=shard_params_tp(s_tp.params, mesh))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_tp = {k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in batch.items()}
+    for _ in range(2):
+        s_tp, m_tp = step(s_tp, batch_tp)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]), rtol=2e-5)
+    ref_flat = traverse_util.flatten_dict(s_ref.params)
+    tp_flat = traverse_util.flatten_dict(s_tp.params)
+    for p in part.shared_paths | part.local_paths | part.head_paths:
+        np.testing.assert_allclose(
+            np.asarray(ref_flat[p]), np.asarray(tp_flat[p]),
+            rtol=2e-5, atol=2e-6, err_msg=str(p),
+        )
