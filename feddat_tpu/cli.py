@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--mesh_clients", type=int, default=None)
     p.add_argument("--mesh_data", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree (sequential engine): shard the "
+                        "frozen backbone Megatron-style over a (data, model) "
+                        "mesh via jax.sharding placement; trainable PEFT "
+                        "partitions stay replicated (parallel/tp.py)")
     p.add_argument("--vocab_file", default=None,
                    help="bert-base-uncased vocab.txt for the WordPiece tokenizer")
     p.add_argument("--bert_model_path", default=None,
@@ -315,6 +320,21 @@ def main(argv=None) -> int:
             "eval-only run", file=sys.stderr,
         )
         args.attn_impl = "auto"
+    if args.tp > 1:
+        if args.engine == "spmd":
+            raise SystemExit(
+                "--tp shards the backbone over a (data, model) mesh; the spmd "
+                "engine's mesh axes are (client, data).  Use --engine "
+                "sequential with --tp (the client loop stays sequential and "
+                "every client's step runs tensor-parallel)."
+            )
+        if args.attn_impl == "block":
+            print(
+                "[feddat_tpu] --attn_impl block is a Pallas custom call and "
+                "does not partition over the model axis; falling back to "
+                "'auto' for this --tp run", file=sys.stderr,
+            )
+            args.attn_impl = "auto"
     config = TrainConfig(
         encoder_name=args.encoder_name,
         peft_mode=mode,
@@ -607,6 +627,15 @@ def main(argv=None) -> int:
                 "classification tasks use the standard DAT step"
             )
             use_fused = False
+        tp_mesh = None
+        if args.tp > 1:
+            from feddat_tpu.parallel.tp import make_tp_mesh
+
+            tp_mesh = make_tp_mesh(model_parallel=args.tp)
+            logger.info(
+                "tensor parallel: mesh (data=%d, model=%d)",
+                tp_mesh.shape["data"], tp_mesh.shape["model"],
+            )
         trainer = FederatedTrainer(
             model, params, clients, config,
             make_forward=make_forward,
@@ -618,6 +647,7 @@ def main(argv=None) -> int:
             use_fused_dat=use_fused,
             optimizer_overrides=opt_overrides,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
+            tp_mesh=tp_mesh,
         )
         if args.do_single:
             history = [trainer.run_single_task()]

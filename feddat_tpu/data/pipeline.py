@@ -205,14 +205,17 @@ class ViltVQAPipeline:
 
 
 def prefetch_to_device(
-    it: Iterable[Dict[str, np.ndarray]], size: int = 2, devices=None
+    it: Iterable[Dict[str, np.ndarray]], size: int = 2, devices=None,
+    sharding=None,
 ) -> Iterator[Any]:
     """Double-buffered async host->HBM staging.
 
     A background thread keeps ``size`` batches in flight: ``jax.device_put``
     is issued ahead of consumption so the DMA overlaps the previous step's
     compute (the TPU replacement for torch DataLoader's pinned-memory
-    prefetch).
+    prefetch).  ``sharding`` (a ``jax.sharding.Sharding``) places each batch
+    onto a device mesh instead of the default device — the tensor-parallel
+    engine passes its batch-over-``data``-axis layout here.
     """
     import jax
 
@@ -222,7 +225,7 @@ def prefetch_to_device(
     def producer():
         try:
             for batch in it:
-                q.put(jax.device_put(batch))
+                q.put(jax.device_put(batch, sharding))
         finally:
             q.put(END)
 

@@ -83,6 +83,7 @@ class FederatedTrainer:
         aux_forward: bool = False,
         use_fused_dat: bool = False,
         optimizer_overrides: Optional[Dict[str, OptimizerConfig]] = None,
+        tp_mesh=None,
     ):
         """``make_forward(model, task_key) -> forward`` and
         ``make_eval(model, task_key) -> eval_step`` customize the model
@@ -94,10 +95,27 @@ class FederatedTrainer:
         ``albef_model.py:158-163``); ``aux_forward`` marks the forward as
         aux-threading.  ``batch_transform(batch, epoch, step, steps_per_epoch)``
         mirrors the reference's per-batch mutation hook (the ALBEF distill
-        alpha ramp, ``train_vqa_crossvqa.py:265-271``).."""
+        alpha ramp, ``train_vqa_crossvqa.py:265-271``)..
+
+        ``tp_mesh`` (a ``(data, model)`` ``jax.sharding.Mesh``) tensor-
+        parallelizes the run by PLACEMENT alone: the frozen backbone is
+        sharded Megatron-style over the ``model`` axis
+        (``parallel/tp.py::tp_spec_for``), the trainable PEFT partitions stay
+        replicated, batches ride the ``data`` axis, and GSPMD partitions the
+        unchanged train/eval steps (equivalence:
+        ``tests/test_tp.py::test_tp_training_step_by_placement``)."""
         self.model = model
         self.config = config
         self.mode = config.peft_mode
+        self.tp_mesh = tp_mesh
+        self._batch_sharding = None
+        if tp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from feddat_tpu.parallel.tp import DATA_AXIS, shard_params_tp
+
+            params = shard_params_tp(params, tp_mesh)
+            self._batch_sharding = NamedSharding(tp_mesh, PartitionSpec(DATA_AXIS))
         self.server_params = params
         self.labels = label_params(params)
         self._personal_roles = personal_roles(self.mode)
@@ -260,11 +278,12 @@ class FederatedTrainer:
         on_accelerator = jax.default_backend() != "cpu"
         for epoch in range(self.config.federated.local_epochs):
             it = client.data.train_batches(epoch=round_idx * 1000 + epoch)
-            if on_accelerator:
-                # overlap host batch prep + H2D with the previous step
+            if on_accelerator or self._batch_sharding is not None:
+                # overlap host batch prep + H2D with the previous step; under
+                # TP additionally split each batch over the mesh's data axis
                 from feddat_tpu.data.pipeline import prefetch_to_device
 
-                it = prefetch_to_device(it, size=2)
+                it = prefetch_to_device(it, size=2, sharding=self._batch_sharding)
             spe = client.data.steps_per_epoch
             for step_idx, batch in enumerate(it):
                 # reference --debug N truncation: per-epoch, batches 0..N run
