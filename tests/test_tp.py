@@ -106,6 +106,22 @@ def test_tp_forward_albef():
     np.testing.assert_allclose(float(out), float(ref), rtol=2e-5)
 
 
+def test_tp_cli_guards():
+    """--tp composes only with the sequential engine (the spmd engine's mesh
+    axes are (client, data)); the Pallas block kernel does not partition
+    over the model axis, so --tp forces attn_impl back to 'auto'."""
+    import pytest
+
+    from feddat_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="sequential"):
+        main([
+            "--encoder_name", "vilt", "--optimizer_mode", "dat",
+            "--engine", "spmd", "--tp", "2",
+            "--ordered_cl_tasks", "domain", "--climb_data_dir", "/nonexistent",
+        ])
+
+
 def test_tp_training_step_by_placement():
     """TP composes with the existing train steps by PLACEMENT alone: shard
     the frozen backbone over the model axis (that's where the memory is),
