@@ -274,6 +274,40 @@ def build_clients(args, task_keys, tokenizer):
     return clients, answer_banks
 
 
+def apply_tp_arg_guards(args) -> None:
+    """Validate/normalize the ``--tp`` argument combinations (in place).
+
+    TP composes with the sequential engine only (the spmd engine's mesh axes
+    are (client, data)), with a single controller (the sequential engine
+    device_puts process-local batches — a multihost global mesh would need
+    per-process assembly), and with XLA attention (every Pallas attention
+    kernel is a custom call that does not partition over the model axis)."""
+    if args.tp <= 1:
+        return
+    if args.engine == "spmd":
+        raise SystemExit(
+            "--tp shards the backbone over a (data, model) mesh; the spmd "
+            "engine's mesh axes are (client, data).  Use --engine "
+            "sequential with --tp (the client loop stays sequential and "
+            "every client's step runs tensor-parallel)."
+        )
+    if args.multihost:
+        raise SystemExit(
+            "--tp is single-controller: the sequential engine feeds "
+            "process-local batches to the (data, model) mesh, which cannot "
+            "span a multihost process group.  Drop --multihost (TP uses all "
+            "of this process's devices) or use --engine spmd --multihost "
+            "without --tp."
+        )
+    if args.attn_impl in ("block", "flash", "fused"):
+        print(
+            f"[feddat_tpu] --attn_impl {args.attn_impl} is a Pallas custom "
+            "call and does not partition over the model axis; falling back "
+            "to 'auto' for this --tp run", file=sys.stderr,
+        )
+        args.attn_impl = "auto"
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -320,21 +354,7 @@ def main(argv=None) -> int:
             "eval-only run", file=sys.stderr,
         )
         args.attn_impl = "auto"
-    if args.tp > 1:
-        if args.engine == "spmd":
-            raise SystemExit(
-                "--tp shards the backbone over a (data, model) mesh; the spmd "
-                "engine's mesh axes are (client, data).  Use --engine "
-                "sequential with --tp (the client loop stays sequential and "
-                "every client's step runs tensor-parallel)."
-            )
-        if args.attn_impl == "block":
-            print(
-                "[feddat_tpu] --attn_impl block is a Pallas custom call and "
-                "does not partition over the model axis; falling back to "
-                "'auto' for this --tp run", file=sys.stderr,
-            )
-            args.attn_impl = "auto"
+    apply_tp_arg_guards(args)
     config = TrainConfig(
         encoder_name=args.encoder_name,
         peft_mode=mode,
@@ -632,6 +652,13 @@ def main(argv=None) -> int:
             from feddat_tpu.parallel.tp import make_tp_mesh
 
             tp_mesh = make_tp_mesh(model_parallel=args.tp)
+            dp = tp_mesh.shape["data"]
+            if config.batch_size % dp != 0:
+                raise SystemExit(
+                    f"--batch_size {config.batch_size} is not divisible by the "
+                    f"TP mesh's data axis ({dp} = {dp * args.tp} devices / "
+                    f"--tp {args.tp}); batches are sharded over that axis"
+                )
             logger.info(
                 "tensor parallel: mesh (data=%d, model=%d)",
                 tp_mesh.shape["data"], tp_mesh.shape["model"],

@@ -223,11 +223,15 @@ def prefetch_to_device(
     END = object()
 
     def producer():
+        # exceptions must reach the consumer: a bare finally->END here would
+        # make a failed device_put look like a cleanly-exhausted epoch and
+        # the training loop would silently run zero steps
         try:
             for batch in it:
                 q.put(jax.device_put(batch, sharding))
-        finally:
             q.put(END)
+        except BaseException as e:  # noqa: BLE001 - re-raised on the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -235,4 +239,6 @@ def prefetch_to_device(
         item = q.get()
         if item is END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -367,6 +367,12 @@ class FederatedTrainer:
         if restored is None:
             return 0
         rnd, server, personal, rng = restored
+        if self.tp_mesh is not None:
+            # orbax restores host arrays; re-apply the TP layout or the rest
+            # of the run silently trains a fully-replicated backbone
+            from feddat_tpu.parallel.tp import shard_params_tp
+
+            server = shard_params_tp(server, self.tp_mesh)
         self.server_params = server
         self.personal = personal
         self.rng = rng

@@ -19,8 +19,13 @@ xBERT text/fusion/decoder stacks, whose scanned params all carry a leading
     inserts one all-reduce per layer on its output;
   * FFN intermediate: column-parallel; FFN output: row-parallel (second
     all-reduce per layer);
-  * everything else (embeddings, LayerNorms, adapters, heads): replicated
-    (the PEFT params are tiny — sharding them would only add collectives).
+  * everything else — embeddings, LayerNorms, adapters, heads, and ALL
+    biases — replicated.  Biases stay replicated deliberately even where
+    Megatron would column-shard them: in ``PEFTMode.BIAS`` the q/k/v/FFN
+    biases ARE the trainable+FedAvg'd partition, and the contract here is
+    that trainable partitions (plus their optimizer state, communication,
+    and checkpoints) are never mesh-sharded.  GSPMD slices a replicated
+    bias into the sharded activation add for free.
 
 Requires ``num_heads % model_parallel == 0`` (and the FFN width likewise).
 """
@@ -41,8 +46,6 @@ MODEL_AXIS = "model"
 # scanned stacks have a leading [L] axis that always stays unsharded.
 _COLUMN_KERNELS = ("query/dense/kernel", "key/kernel", "key/dense/kernel",
                    "value/dense/kernel", "intermediate/kernel")
-_COLUMN_BIASES = ("query/dense/bias", "key/bias", "key/dense/bias",
-                  "value/dense/bias", "intermediate/bias")
 _ROW_KERNELS = ("out/kernel", "output/kernel")
 
 
@@ -68,13 +71,10 @@ def tp_spec_for(path: Tuple, leaf) -> P:
     for suffix in _COLUMN_KERNELS:
         if j.endswith(suffix):
             return dim_spec(ndim - 1)  # shard output features
-    for suffix in _COLUMN_BIASES:
-        if j.endswith(suffix):
-            return dim_spec(ndim - 1)
     for suffix in _ROW_KERNELS:
         if j.endswith(suffix) and ndim >= 2:
             return dim_spec(ndim - 2)  # shard input features
-    return P()  # replicated: embeddings, norms, out/output biases, pooler
+    return P()  # replicated: embeddings, norms, ALL biases, pooler, heads
 
 
 def make_tp_mesh(

@@ -159,3 +159,20 @@ def test_load_vqav2_examples(tmp_path):
     # low-shot
     many = ex * 100
     assert len(convert_to_low_shot(many, 0.05)) == 5
+
+
+def test_prefetch_to_device_propagates_producer_errors():
+    """A failure inside the staging thread (bad sharding, device error) must
+    surface in the consumer — not masquerade as a cleanly-exhausted epoch
+    (which would silently train zero steps)."""
+    from feddat_tpu.data.pipeline import prefetch_to_device
+
+    def bad_iter():
+        yield {"x": np.zeros((4, 2), np.float32)}
+        raise RuntimeError("boom in producer")
+
+    it = prefetch_to_device(bad_iter(), size=2)
+    first = next(it)
+    assert first["x"].shape == (4, 2)
+    with pytest.raises(RuntimeError, match="boom in producer"):
+        next(it)

@@ -22,7 +22,6 @@ from conftest import TINY_VILT, tiny_batch
 
 
 def _setup():
-    from feddat_tpu.federated.spmd import FED_HEAD_KEY
     from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
 
     model = ViltContinualLearner(TINY_VILT, {"t": TaskHeadSpec(num_labels=16)})
@@ -43,10 +42,12 @@ def test_tp_specs_cover_the_transformer_stacks():
     assert any("attention/out/kernel" in p for p in sharded_paths)
     assert any("mlp/intermediate/kernel" in p for p in sharded_paths)
     assert any("mlp/output/kernel" in p for p in sharded_paths)
-    # trainable PEFT partitions and norms stay replicated
+    # trainable PEFT partitions and norms stay replicated — including every
+    # bias (in PEFTMode.BIAS the biases ARE the trainable partition)
     assert not any("adapter" in p for p in sharded_paths)
     assert not any("norm" in p for p in sharded_paths)
     assert not any("task_" in p for p in sharded_paths)
+    assert not any(p.endswith("bias") for p in sharded_paths)
 
 
 def test_tp_forward_matches_single_device():
@@ -108,11 +109,12 @@ def test_tp_forward_albef():
 
 def test_tp_cli_guards():
     """--tp composes only with the sequential engine (the spmd engine's mesh
-    axes are (client, data)); the Pallas block kernel does not partition
-    over the model axis, so --tp forces attn_impl back to 'auto'."""
+    axes are (client, data)) and a single controller; every Pallas attention
+    kernel is a custom call that does not partition over the model axis, so
+    --tp forces attn_impl back to 'auto'."""
     import pytest
 
-    from feddat_tpu.cli import main
+    from feddat_tpu.cli import apply_tp_arg_guards, build_parser, main
 
     with pytest.raises(SystemExit, match="sequential"):
         main([
@@ -120,6 +122,22 @@ def test_tp_cli_guards():
             "--engine", "spmd", "--tp", "2",
             "--ordered_cl_tasks", "domain", "--climb_data_dir", "/nonexistent",
         ])
+
+    parser = build_parser()
+    base = ["--encoder_name", "vilt", "--optimizer_mode", "dat",
+            "--ordered_cl_tasks", "domain", "--climb_data_dir", "/x",
+            "--engine", "sequential", "--tp", "2"]
+    for impl in ("block", "flash", "fused"):
+        args = parser.parse_args(base + ["--attn_impl", impl])
+        apply_tp_arg_guards(args)
+        assert args.attn_impl == "auto"
+    args = parser.parse_args(base + ["--multihost"])
+    with pytest.raises(SystemExit, match="single-controller"):
+        apply_tp_arg_guards(args)
+    # no-op below the threshold
+    args = parser.parse_args(base[:-1] + ["1", "--attn_impl", "block"])
+    apply_tp_arg_guards(args)
+    assert args.attn_impl == "block"
 
 
 def test_tp_training_step_by_placement():
