@@ -181,3 +181,100 @@ def test_tp_training_step_by_placement():
             np.asarray(ref_flat[p]), np.asarray(tp_flat[p]),
             rtol=2e-5, atol=2e-6, err_msg=str(p),
         )
+
+
+def test_tp_engine_round_matches_replicated():
+    """The FULL sequential-engine round under ``tp_mesh`` (params sharded in
+    __init__, batches through the sharded prefetcher) matches the replicated
+    engine — this covers the engine WIRING, not just the step numerics."""
+    from feddat_tpu.configs.core import (
+        FederatedConfig,
+        OptimizerConfig,
+        PEFTMode,
+        TrainConfig,
+    )
+    from feddat_tpu.data.synthetic import SyntheticVQAClient
+    from feddat_tpu.federated.engine import FederatedTrainer
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+    from conftest import TINY_VILT
+
+    def make_clients():
+        return {
+            f"cl_{i}": SyntheticVQAClient(
+                task_key=f"cl_{i}", num_train=8, num_eval=4, num_labels=16,
+                vocab_size=TINY_VILT.vocab_size, text_len=TINY_VILT.max_text_len,
+                image_size=TINY_VILT.image_size, batch_size=4, seed=i,
+            )
+            for i in range(2)
+        }
+
+    clients = make_clients()
+    heads = {k: TaskHeadSpec(num_labels=16) for k in clients}
+    model = ViltContinualLearner(TINY_VILT, heads)
+    batch = next(next(iter(clients.values())).train_batches(0))
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=4,
+        seed=0,
+    )
+
+    t_ref = FederatedTrainer(model, params, make_clients(), cfg)
+    t_ref.run_round(0)
+
+    mesh = make_tp_mesh(model_parallel=4, data_parallel=2)
+    t_tp = FederatedTrainer(model, params, make_clients(), cfg, tp_mesh=mesh)
+    t_tp.run_round(0)
+
+    ref_flat = traverse_util.flatten_dict(t_ref.server_params)
+    tp_flat = traverse_util.flatten_dict(t_tp.server_params)
+    for p in ref_flat:
+        np.testing.assert_allclose(
+            np.asarray(ref_flat[p]), np.asarray(tp_flat[p]),
+            rtol=2e-5, atol=2e-6, err_msg=str(p),
+        )
+
+
+def test_tp_albef_dat_step_by_placement():
+    """The ALBEF (LM-loss) DAT step under TP placement matches replicated."""
+    import dataclasses
+
+    from feddat_tpu.configs.core import OptimizerConfig, PEFTMode
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from feddat_tpu.train.dat import Partitioner, init_train_state, make_dat_train_step
+    from feddat_tpu.train.forwards import make_albef_forward
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    acfg = dataclasses.replace(
+        TINY_ALBEF,
+        bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.0, attention_dropout=0.0),
+    )
+    client = SyntheticAlbefClient(
+        task_key="c", num_train=8, num_eval=4, num_answers=8, vocab_size=64,
+        question_len=6, answer_len=4, image_size=(32, 32), batch_size=4, seed=0,
+    )
+    model = AlbefModel(acfg)
+    batch = next(client.train_batches(0))
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch)
+
+    forward = make_albef_forward(model)
+    part = Partitioner(params, "c", PEFTMode.DAT)
+    opt = OptimizerConfig(lr=5e-3)
+    step = make_dat_train_step(forward, part, opt, max_steps=10, donate=False)
+
+    s_ref = init_train_state(params, part, opt, jax.random.PRNGKey(3))
+    s_ref, m_ref = step(s_ref, batch)
+
+    mesh = make_tp_mesh(model_parallel=4, data_parallel=2)
+    s_tp = init_train_state(params, part, opt, jax.random.PRNGKey(3))
+    s_tp = s_tp.replace(params=shard_params_tp(s_tp.params, mesh))
+    batch_tp = {
+        k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in batch.items()
+    }
+    s_tp, m_tp = step(s_tp, batch_tp)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]), rtol=2e-5)
