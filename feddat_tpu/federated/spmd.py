@@ -167,6 +167,26 @@ class SPMDFederatedTrainer:
         self.client_paths = frozenset(
             P_.shared_paths | P_.local_paths | P_.head_paths | self.teacher_paths
         )
+        # FedAvg communicates comm_roles(mode), NOT the trainable set: the
+        # oracle engine averages exactly that subset and RESETS every trained
+        # non-comm non-personal param back to the server value each round
+        # (engine.py run_round; reference comm_state_dict_names routing,
+        # main.py:132-245).  Identical for dat/adapter/norm/bias/lora/prompt
+        # (comm == trainable - heads there); differs for FULL (lora/prompt
+        # train locally but are never communicated or persisted) and
+        # FREEZE_BOTTOM_K (comm set is empty: upper layers train within a
+        # round, then reset).
+        from feddat_tpu.peft.partition import comm_roles, personal_roles
+
+        _comm = comm_roles(config.peft_mode)
+        _pers = personal_roles(config.peft_mode)
+        self._comm_paths = frozenset(
+            p for p in self.client_paths if flat_labels[p] in _comm
+        )
+        self._round_reset_paths = frozenset(
+            p for p in self.client_paths
+            if flat_labels[p] not in _comm and flat_labels[p] not in _pers
+        )
 
         # split template params into replicated backbone and per-client part
         flat = traverse_util.flatten_dict(params)
@@ -178,16 +198,15 @@ class SPMDFederatedTrainer:
         )
         # every client starts from the same init (reference main.py:440-450)
         self.client_state = self._put_client_tree(_stack_trees([client_part] * C))
-        if self._multihost:
-            # multi-process jit needs committed global arrays for every input
-            self.backbone = jax.tree_util.tree_map(
-                lambda x: self._put_global(x, P()), self.backbone
-            )
+        # committed replicated placement (multi-process jit REQUIRES global
+        # arrays; single-host it also keeps a numpy checkpoint-loaded
+        # backbone from being re-transferred on every step)
+        self.backbone = jax.tree_util.tree_map(
+            lambda x: self._put_global(x, P()), self.backbone
+        )
 
         self.full_epochs = full_epochs
         agg = max if full_epochs else min
-        steps_per_epoch = agg(c.steps_per_epoch for c in self.clients)
-        self.steps_per_round = steps_per_epoch * config.federated.local_epochs
         max_steps = agg(c.steps_per_epoch for c in self.clients) * config.num_epochs
         # per-client schedule horizons (sequential parity: engine.py builds
         # steps_per_epoch * num_epochs per client); consumed by the cores
@@ -430,19 +449,33 @@ class SPMDFederatedTrainer:
         if weights is None:
             w = jnp.ones((C,), jnp.float32) / C
         else:
+            if len(weights) != C:
+                raise ValueError(
+                    f"client_weights has {len(weights)} entries for a "
+                    f"{C}-slot client axis"
+                )
             w = jnp.asarray(weights, jnp.float32)
             w = w / jnp.sum(w)
-        shared_paths = P_.shared_paths
+        comm_paths = self._comm_paths
+        # initial server values for the trained-but-discarded partition (the
+        # server never updates non-comm paths, so "reset to server" is
+        # always "reset to init"); empty for every mode but FULL / FREEZE_*
+        flat_init = traverse_util.flatten_dict(params)
+        reset_vals = {
+            p: jnp.asarray(flat_init[p]) for p in self._round_reset_paths
+        }
 
         @jax.jit
         def fedavg_stacked(client_state):
             flat = _tu.flatten_dict(client_state)
             out = dict(flat)
-            for p in shared_paths:
+            for p in comm_paths:
                 leaf = flat[p]
                 wshape = (C,) + (1,) * (leaf.ndim - 1)
                 avg = jnp.sum(leaf * w.reshape(wshape), axis=0)
                 out[p] = jnp.broadcast_to(avg[None], leaf.shape)
+            for p, v in reset_vals.items():
+                out[p] = jnp.broadcast_to(v[None], flat[p].shape)
             return _tu.unflatten_dict(out)
 
         self._fedavg = fedavg_stacked
@@ -639,7 +672,16 @@ class SPMDFederatedTrainer:
                 if any(b is None for b in batches):
                     # a client with zero batches this epoch: pad from any
                     # live client's batch (shapes are uniform across slots)
-                    template = next(b for b in batches if b is not None)
+                    live = [b for b in batches if b is not None]
+                    if not live:
+                        # inside a generator a bare StopIteration from next()
+                        # would surface as an opaque PEP-479 RuntimeError
+                        raise ValueError(
+                            "no locally-hosted client produced a train batch "
+                            "this epoch (every local client has num_train < "
+                            "batch_size); cannot pad the stacked batch"
+                        )
+                    template = live[0]
                     batches = [template if b is None else b for b in batches]
                 stacked = {
                     k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
@@ -675,7 +717,10 @@ class SPMDFederatedTrainer:
         import time
 
         t0 = time.time()
-        self.client_state = self._teacher_refresh(self.client_state)
+        if self.config.peft_mode == PEFTMode.DAT:
+            # oracle parity: the engine refreshes adapter_2 <- adapter_1 only
+            # under DAT (engine.py _client_params)
+            self.client_state = self._teacher_refresh(self.client_state)
         opt, counts, rngs = self._fresh_opt_and_clocks()
         last_metrics = None
         batch_total = self.num_clients * self.config.batch_size
@@ -762,7 +807,10 @@ class SPMDFederatedTrainer:
                 totals[mode] += self._to_host(out)
         scores = {
             c.task_key: [
-                float(totals[m][i] / counts[i] * 100.0) for m in self._eval_modes
+                # max(1, n): a zero-example eval split scores 0.0, not NaN
+                # (reference evaluate(), train/evaluation.py:111 parity)
+                float(totals[m][i] / max(1, counts[i]) * 100.0)
+                for m in self._eval_modes
             ]
             for i, c in enumerate(self.clients)
         }
@@ -820,12 +868,11 @@ class SPMDFederatedTrainer:
         if restored is None:
             return 0
         rnd, backbone, personal, rng = restored
-        if self._multihost:
-            self.backbone = jax.tree_util.tree_map(
-                lambda x: self._put_global(x, P()), backbone
-            )
-        else:
-            self.backbone = backbone
+        # re-commit the restored host arrays to the mesh (single-host too —
+        # a host-numpy backbone would otherwise be re-transferred every step)
+        self.backbone = jax.tree_util.tree_map(
+            lambda x: self._put_global(x, P()), backbone
+        )
         self.client_state = self._put_client_tree(personal["stacked_clients"])
         self.rng = rng
         return rnd + 1

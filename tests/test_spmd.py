@@ -543,3 +543,50 @@ def test_spmd_full_epochs_matches_sequential_heterogeneous():
                     np.asarray(spmd_flat[k][c]), ours[c], rtol=2e-4, atol=2e-5,
                     err_msg=str(k),
                 )
+
+
+def test_spmd_freeze_bottom_k_comm_semantics_match_oracle():
+    """FedAvg communicates comm_roles(mode), not the trainable set: under
+    FREEZE_BOTTOM_K the comm set is EMPTY (reference comm_state_dict_names
+    routing), so the upper layers train within a round but are reset to the
+    server/init values at round end — exactly what the sequential oracle
+    does (engine.py run_round discards trained non-comm non-personal
+    params).  Only the personal heads persist."""
+    import dataclasses
+
+    model, params, clients, cfg = _setup(num_clients=2)
+    cfg = dataclasses.replace(
+        cfg, peft_mode=PEFTMode.FREEZE_BOTTOM_K, layers_to_freeze=1
+    )
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    assert not trainer._comm_paths  # comm_roles(FREEZE_BOTTOM_K) is empty
+    # reset set = trained upper layers + the (untrained, so no-op) teacher
+    assert trainer._round_reset_paths == (
+        trainer.partitioner.shared_paths | trainer.teacher_paths
+    )
+
+    trainer.run_round(0)
+    bank = jax.tree_util.tree_map(np.asarray, trainer.client_state)
+    flat_bank = traverse_util.flatten_dict(bank)
+    flat_init = traverse_util.flatten_dict(params)
+    head_paths = trainer.partitioner.head_paths
+
+    head_moved = False
+    for p, v in flat_bank.items():
+        if p in head_paths:
+            head_moved = head_moved or not np.allclose(
+                v[0], np.asarray(flat_init[p])
+            )
+        else:
+            # everything non-personal was reset to the init/server value
+            for c in range(2):
+                np.testing.assert_array_equal(
+                    v[c], np.asarray(flat_init[p]), err_msg=str(p)
+                )
+    assert head_moved, "personal heads should have trained"
+
+    # eval still runs post-reset and yields finite scores
+    entry = trainer.evaluate_round(0)
+    for scores in entry["scores"].values():
+        assert all(np.isfinite(s) for s in scores)
