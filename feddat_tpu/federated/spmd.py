@@ -235,22 +235,11 @@ class SPMDFederatedTrainer:
             )
 
             if family == "albef":
-                from feddat_tpu.models.albef import AlbefModel
-                from feddat_tpu.train.trainers import albef_fused_task_loss
+                from feddat_tpu.train.trainers import albef_fused_parts
 
-                def encode(p, b, mode, rng):
-                    return model.apply(
-                        {"params": p}, b, adapter_mode=mode, deterministic=True,
-                        method=AlbefModel.encode_train,
-                    )
-
-                def head_fn(h, hidden):
-                    return model.apply(
-                        {"params": _merge(h, head_frozen_rest)}, hidden,
-                        method=AlbefModel.apply_cls,
-                    )
-
-                task_loss = albef_fused_task_loss(pad_token_id)
+                encode, head_fn, task_loss = albef_fused_parts(
+                    model, head_frozen_rest, pad_token_id
+                )
             else:
                 def encode(p, b, mode, rng):
                     return model.apply(
@@ -480,18 +469,13 @@ class SPMDFederatedTrainer:
 
         self._fedavg = fedavg_stacked
 
-        @jax.jit
-        def refresh_teacher_stacked(client_state):
-            """adapter_2 <- adapter_1 per client (task_trainer.py:36-45)."""
-            flat = _tu.flatten_dict(client_state)
-            out = dict(flat)
-            for p in self.teacher_paths:
-                src = tuple(str(s).replace("adapter_2", "adapter_1") for s in p)
-                if src in flat:
-                    out[p] = flat[src]
-            return _tu.unflatten_dict(out)
+        # adapter_2 <- adapter_1 per client (task_trainer.py:36-45).  The
+        # shared teacher_refresh is purely path-based, so it applies to the
+        # stacked [C]-leading bank unchanged — one source of truth for the
+        # load-bearing adapter_1/adapter_2 path mapping.
+        from feddat_tpu.peft.partition import teacher_refresh
 
-        self._teacher_refresh = refresh_teacher_stacked
+        self._teacher_refresh = jax.jit(teacher_refresh)
 
         self.rng = jax.random.PRNGKey(config.seed)
         self.history: List[Dict[str, Any]] = []

@@ -128,8 +128,7 @@ def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: i
     ``part``: an existing :class:`Partitioner` to reuse (the sequential
     engine passes its per-client one); default builds the SPMD 'fed' one."""
     from feddat_tpu.configs.core import PEFTMode
-    from feddat_tpu.models.albef import AlbefModel
-    from feddat_tpu.peft.partition import label_params, merge, split_by_roles
+    from feddat_tpu.peft.partition import label_params, split_by_roles
     from feddat_tpu.train.dat import Partitioner, make_dat_train_step_fused
 
     check_fused_dropout(model)
@@ -137,6 +136,19 @@ def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: i
         part = Partitioner(params, "fed", PEFTMode.DAT)
     labels = label_params(params)
     _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
+    encode, head_fn, task_loss = albef_fused_parts(model, frozen_rest, pad_token_id)
+    return make_dat_train_step_fused(
+        encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=donate
+    ), part
+
+
+def albef_fused_parts(model, frozen_rest, pad_token_id: int):
+    """The fused-ALBEF contract's ``(encode, head_fn, task_loss)`` trio —
+    single source of truth shared by :func:`make_albef_fused_dat_step` and
+    the SPMD engine's fused branch.  ``frozen_rest`` is the non-head param
+    subtree merged back around the head for ``apply_cls``."""
+    from feddat_tpu.models.albef import AlbefModel
+    from feddat_tpu.peft.partition import merge
 
     def encode(p, batch, mode, rng):
         return model.apply(
@@ -150,10 +162,7 @@ def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: i
             method=AlbefModel.apply_cls,
         )
 
-    return make_dat_train_step_fused(
-        encode, head_fn, albef_fused_task_loss(pad_token_id), part, opt_cfg,
-        max_steps, donate=donate
-    ), part
+    return encode, head_fn, albef_fused_task_loss(pad_token_id)
 
 
 def resolve_trainer(encoder_name: str, trainer_kind: str, **kwargs) -> TrainerHooks:
