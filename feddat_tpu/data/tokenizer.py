@@ -175,7 +175,7 @@ class WordPieceTokenizer:
     ) -> List[int]:
         ids = self.convert_tokens_to_ids(self.tokenize(text))
         if add_special_tokens:
-            budget = None if max_length is None else max_length - 2
+            budget = None if max_length is None else max(0, max_length - 2)
             if budget is not None:
                 ids = ids[:budget]
             ids = [self.cls_token_id] + ids + [self.sep_token_id]
@@ -201,7 +201,7 @@ class WordPieceTokenizer:
     def decode(self, ids: Sequence[int], skip_special: bool = True) -> str:
         toks = [self.ids_to_tokens.get(int(i), UNK) for i in ids]
         if skip_special:
-            toks = [t for t in toks if t not in (PAD, CLS, SEP, MASK)]
+            toks = [t for t in toks if t not in (PAD, UNK, CLS, SEP, MASK)]
         text = ""
         for t in toks:
             if t.startswith("##"):

@@ -233,7 +233,7 @@ int32_t wp_encode(void* handle, const char* text, int32_t* out_ids,
   static const char* kSpecials[] = {"[PAD]", "[UNK]", "[CLS]", "[SEP]",
                                     "[MASK]"};
   std::vector<int32_t> ids;  // body tokens (no CLS/SEP)
-  const int32_t budget = max_len - 2;
+  const int32_t budget = max_len > 2 ? max_len - 2 : 0;  // clamp: max_len<2 must not go negative
   std::string raw;  // whitespace-delimited token, original case
   auto flush_token = [&]() {
     if (raw.empty()) return;

@@ -21,9 +21,14 @@ import numpy as np
 
 
 def _t(w) -> np.ndarray:
-    """torch tensor/array -> numpy (no torch import needed for arrays)."""
+    """torch tensor/array -> numpy (no torch import needed for arrays).
+    Half-precision checkpoints are upcast first: torch ``.numpy()`` raises
+    on bfloat16, and params are fp32 here anyway."""
     if hasattr(w, "detach"):
-        w = w.detach().cpu().numpy()
+        w = w.detach().cpu()
+        if str(w.dtype) in ("torch.bfloat16", "torch.float16"):
+            w = w.float()
+        w = w.numpy()
     return np.asarray(w)
 
 
@@ -71,7 +76,8 @@ def interpolate_pos_embed(pos: np.ndarray, num_patches_new) -> np.ndarray:
         )
         gh_new = gw_new = g
     n_old = pos.shape[1] - 1
-    if n_old == gh_new * gw_new and gh_new == gw_new:
+    if n_old == gh_new * gw_new:
+        # already at the target patch count (square or not): no-op
         return pos
     import torch
     import torch.nn.functional as F
@@ -79,8 +85,6 @@ def interpolate_pos_embed(pos: np.ndarray, num_patches_new) -> np.ndarray:
     d = pos.shape[2]
     g_old = int(round(n_old**0.5))
     assert g_old * g_old == n_old, f"non-square source grid ({n_old} patches)"
-    if (g_old, g_old) == (gh_new, gw_new):
-        return pos
     extra, grid = pos[:, :1], pos[:, 1:]
     grid = torch.tensor(grid).reshape(1, g_old, g_old, d).permute(0, 3, 1, 2)
     grid = F.interpolate(grid, size=(gh_new, gw_new), mode="bicubic", align_corners=False)
@@ -192,15 +196,12 @@ def convert_bert_to_xbert(
     num_layers: int = 12,
     fusion_layer: int = 6,
     prefix: str = "",
-    cross_init: str = "self",
 ) -> Dict[str, Any]:
     """BERT-style state dict -> ``XBertModel`` params.
 
-    ``cross_init='self'`` initializes missing cross-attention weights from
-    the layer's self-attention (what loading bert-base into xbert's
-    ``from_pretrained`` effectively leaves random — here we choose the
-    self-attn copy, matching ALBEF's published-checkpoint convention where
-    cross weights are trained and present).
+    Missing cross-attention weights (plain BERT checkpoints) are initialized
+    from the layer's self-attention; ALBEF's published checkpoints carry
+    trained cross weights, which are taken verbatim.
     """
 
     def g(k):
@@ -326,10 +327,13 @@ def convert_albef_checkpoint(
                 if idx >= fusion_layer:
                     parts[3] = str(idx - fusion_layer)
                     extra["text_decoder." + ".".join(parts[1:])] = v
-            elif k.startswith("text_encoder.embeddings."):
-                # the decoder shares the encoder's embeddings when the
-                # checkpoint carries no trained decoder (the reference loads
-                # them from the same BERT base, ``albef_model.py:41-42``)
+            elif k.startswith(("text_encoder.embeddings.", "text_encoder.cls.")):
+                # non-layer text_encoder keys (embeddings AND the MLM
+                # prediction head ``cls.predictions.*`` of the pretrain
+                # checkpoint's BertForMaskedLM) move to the decoder — the
+                # reference surgery copies every non-layer text_encoder key
+                # to text_decoder (``albef.py:224-239``); without ``cls.*``
+                # the decoder's LM head would stay randomly initialized.
                 extra["text_decoder." + k[len("text_encoder."):]] = v
         sd.update(extra)
 

@@ -80,6 +80,15 @@ def _fake_albef_state_dict(rng, ckpt_grid=4):
         sd[f"{b}.output.dense.bias"] = _rand(rng, H)
         sd[f"{b}.output.LayerNorm.weight"] = _rand(rng, H)
         sd[f"{b}.output.LayerNorm.bias"] = _rand(rng, H)
+    # pretrain checkpoints carry the text encoder's BertForMaskedLM head
+    # (no 'bert.' inside, no decoder.bias — HF ties it to cls.predictions.bias)
+    c = "text_encoder.cls.predictions"
+    sd[f"{c}.transform.dense.weight"] = _rand(rng, H, H)
+    sd[f"{c}.transform.dense.bias"] = _rand(rng, H)
+    sd[f"{c}.transform.LayerNorm.weight"] = _rand(rng, H)
+    sd[f"{c}.transform.LayerNorm.bias"] = _rand(rng, H)
+    sd[f"{c}.decoder.weight"] = _rand(rng, VOCAB, H)
+    sd[f"{c}.bias"] = _rand(rng, VOCAB)
     return sd
 
 
@@ -99,6 +108,18 @@ def test_albef_surgery_and_load():
 
     # pos-embed interpolated 16+1 -> 4+1
     assert converted["visual_encoder"]["pos_embed"].shape == (1, n_patches + 1, H)
+
+    # the encoder's MLM head moved into the decoder (reference surgery moves
+    # every non-layer text_encoder key to text_decoder, ``albef.py:224-239``)
+    assert "cls" in converted["text_decoder"], "decoder LM head dropped by surgery"
+    np.testing.assert_allclose(
+        converted["text_decoder"]["cls"]["decoder"]["kernel"],
+        sd["text_encoder.cls.predictions.decoder.weight"].T, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        converted["text_decoder"]["cls"]["decoder"]["bias"],
+        sd["text_encoder.cls.predictions.bias"], rtol=1e-6,
+    )
 
     bert = AlbefBertConfig(
         vocab_size=VOCAB, hidden_size=H, num_layers=L_TEXT, num_heads=HEADS,
@@ -123,6 +144,10 @@ def test_albef_surgery_and_load():
         loaded["text_encoder"]["embeddings"]["word_embeddings"]["embedding"]
     )
     np.testing.assert_allclose(got, sd["text_encoder.bert.embeddings.word_embeddings.weight"], rtol=1e-6)
+    got_cls = np.asarray(loaded["text_decoder"]["cls"]["decoder"]["kernel"])
+    np.testing.assert_allclose(
+        got_cls, sd["text_encoder.cls.predictions.decoder.weight"].T, rtol=1e-6
+    )
     # and the model still runs
     loss, _ = model.apply({"params": loaded}, batch, adapter_mode="ensemble", deterministic=True)
     assert np.isfinite(float(loss))
@@ -136,6 +161,32 @@ def test_interpolate_pos_embed_identity_and_resize():
     up = interpolate_pos_embed(pos, 64)
     assert up.shape == (1, 65, 8)
     np.testing.assert_array_equal(up[:, 0], pos[:, 0])  # CLS slot untouched
+
+
+def test_interpolate_pos_embed_noop_at_nonsquare_target():
+    """A source already at the (non-square) target patch count is a no-op
+    instead of tripping the square-source assert (regression: re-converting
+    weights saved after a full-size 384x640 run crashed)."""
+    rng = np.random.RandomState(2)
+    pos = rng.randn(1, 1 + 240, 8).astype(np.float32)  # already 12x20
+    np.testing.assert_array_equal(interpolate_pos_embed(pos, (12, 20)), pos)
+
+
+def test_half_precision_checkpoint_tensors():
+    """fp16/bf16 .pth checkpoints convert: torch ``.numpy()`` raises on
+    bfloat16 and CPU bicubic interpolate rejects fp16, so ``_t`` upcasts."""
+    torch = pytest.importorskip("torch")
+    from feddat_tpu.utils.checkpoint_convert import _t
+
+    for dtype in (torch.bfloat16, torch.float16):
+        w = torch.randn(4, 3, dtype=torch.float32).to(dtype)
+        out = _t(w)
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out, w.float().numpy())
+    # and the full pos-embed path resizes a half-precision tensor
+    pos = torch.randn(1, 17, 8, dtype=torch.float32).to(torch.bfloat16)
+    up = interpolate_pos_embed(_t(pos), 64)
+    assert up.shape == (1, 65, 8) and np.isfinite(up).all()
 
 
 def test_interpolate_pos_embed_non_square():

@@ -46,6 +46,19 @@ def test_wordpiece_batch_encode_fixed_shapes():
     assert mask[0].sum() == 5 and mask[1].sum() == 3  # CLS + toks + SEP
 
 
+def test_wordpiece_tiny_max_length_and_unk_decode():
+    tok = WordPieceTokenizer.toy(["what", "is"])
+    # max_length < 2 must not go negative on the special-token budget
+    assert tok.encode("what is", max_length=2) == [tok.cls_token_id, tok.sep_token_id]
+    assert len(tok.encode("what is", max_length=1)) <= 2  # CLS/SEP only
+    ids, mask = tok.batch_encode(["what is"], max_length=2)
+    assert ids.shape == (1, 2) and mask[0].sum() == 2
+    # decode(skip_special=True) drops [UNK] like HF (UNK is a special token)
+    ids = [tok.cls_token_id, tok.vocab["what"], tok.unk_token_id, tok.sep_token_id]
+    assert tok.decode(ids) == "what"
+    assert "[UNK]" in tok.decode(ids, skip_special=False)
+
+
 def _write_raw_json(tmpdir, task_key="toronto"):
     questions = [
         {"question_id": 1, "question": "what color", "image": "imgs/pic_7.jpg"},
@@ -176,3 +189,59 @@ def test_prefetch_to_device_propagates_producer_errors():
     assert first["x"].shape == (4, 2)
     with pytest.raises(RuntimeError, match="boom in producer"):
         next(it)
+
+
+def test_prefetch_to_device_abandonment_stops_producer():
+    """Dropping the generator early (``--debug N`` truncation) must release
+    the staging thread instead of leaving it blocked in ``q.put`` pinning
+    device-resident batches for the life of the process."""
+    import threading
+    import time
+
+    from feddat_tpu.data.pipeline import prefetch_to_device
+
+    produced = []
+
+    def slow_iter():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((2,), i, np.float32)}
+
+    before = threading.active_count()
+    it = prefetch_to_device(slow_iter(), size=2)
+    assert next(it)["x"][0] == 0
+    it.close()  # consumer abandons mid-epoch
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "staging thread leaked"
+    assert len(produced) < 100  # producer stopped early, not drained
+
+
+def test_directory_scan_backend_resolves_annotation_stems(tmp_path):
+    """Annotation-side image ids arrive as full filename stems on the
+    raw-JSON build path; the backend must resolve them with the same
+    per-task parse rule it applies to scanned filenames (regression: every
+    abstract/toronto/art lookup fell to the black-image fallback)."""
+    from PIL import Image
+
+    from feddat_tpu.data.images import DirectoryScanBackend
+
+    d = tmp_path / "train2015"
+    d.mkdir()
+    Image.new("RGB", (8, 8), (255, 0, 0)).save(
+        d / "abstract_v002_train2015_000000000020.png"
+    )
+    b = DirectoryScanBackend([str(d)], "abstract")
+    # int id (cached-pickle path) and full stem (raw-JSON path) both resolve
+    assert b.path_for(20).endswith("000000000020.png")
+    assert b.path_for("abstract_v002_train2015_000000000020").endswith(".png")
+    img = b.load("abstract_v002_train2015_000000000020")
+    assert np.asarray(img)[0, 0, 0] == 255  # the real image, not black
+
+    art = tmp_path / "art"
+    art.mkdir()
+    Image.new("RGB", (8, 8), (0, 255, 0)).save(art / "123-some_painting.jpg")
+    ba = DirectoryScanBackend([str(art)], "art")
+    assert ba.path_for("123-some_painting").endswith("123-some_painting.jpg")
+    assert ba.path_for(123) == ba.path_for("123-some_painting")
