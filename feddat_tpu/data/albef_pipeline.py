@@ -19,6 +19,7 @@ standard ``[CLS] ... [SEP]`` framing (single EOS role).
 
 from __future__ import annotations
 
+import threading
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -87,6 +88,7 @@ class AlbefVQAPipeline:
         self.pixels_u8 = pixels_u8
         self._cache: Optional[Dict] = {} if cache_images else None
         self._cache_left = cache_budget_bytes
+        self._cache_lock = threading.Lock()
         self._native_finalize = None
         if cache_images:
             try:
@@ -117,9 +119,12 @@ class AlbefVQAPipeline:
         from feddat_tpu.data.images import albef_resized_u8
 
         arr = albef_resized_u8(self.backend.load(ex.image_id), self.image_size)
-        if self._cache is not None and arr.nbytes <= self._cache_left:
-            self._cache[ex.image_id] = arr
-            self._cache_left -= arr.nbytes
+        if self._cache is not None:
+            # atomic check-then-insert: see ViltVQAPipeline._load_u8
+            with self._cache_lock:
+                if ex.image_id not in self._cache and arr.nbytes <= self._cache_left:
+                    self._cache[ex.image_id] = arr
+                    self._cache_left -= arr.nbytes
         return arr
 
     def _images(self, batch_ex: List[VQAExample]) -> np.ndarray:
@@ -154,7 +159,14 @@ class AlbefVQAPipeline:
 
     def _answers_for(self, ex: VQAExample) -> Tuple[List[str], List[float]]:
         """Per-question answer weights = occurrences / total annotations
-        (``vqa_dataset_crossvqa.py:361-367``)."""
+        (``vqa_dataset_crossvqa.py:361-367``).
+
+        Path-exact with the reference: pickle-ingested examples keep raw
+        (possibly duplicated) answer lists, so the ``+=`` accumulation
+        reproduces count-weighted weights; raw-JSON-built examples are
+        already deduplicated BY THE REFERENCE's build path too
+        (``vqa_dataset_crossvqa.py:216-236`` stores distinct answers), so
+        uniform weights there match it as well."""
         weight: Dict[str, float] = defaultdict(float)
         for ans in ex.answers:
             weight[ans] += 1.0 / max(1, len(ex.answers))

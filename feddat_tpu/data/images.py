@@ -46,12 +46,28 @@ def vilt_resized_u8(img: "Image.Image", canvas: Tuple[int, int] = (384, 640)) ->
     """Decode-side half of the ViLT preprocessing: the conditional
     shorter-side resize, returned as a [h, w, 3] uint8 array.  This is the
     expensive, IMAGE-DEPENDENT stage — cacheable across epochs/rounds (the
-    federated loop revisits the same client data every round)."""
+    federated loop revisits the same client data every round).
+
+    The resize thresholds scale with the canvas (shorter = min(canvas),
+    longer = max(canvas)) so non-default canvases (smoke mode, custom
+    serving sizes) downscale instead of blowing up toward 384/640.
+    """
+    ch, cw = canvas
+    shorter, longer = min(canvas), max(canvas)
     # The reference resizes only when min(side) > 384 (``cocoimages…:108-110``)
-    if min(img.size) > 384:
-        img = vilt_resize(img)
-    elif max(img.size) > canvas[1] or min(img.size) > canvas[0]:
-        img = vilt_resize(img)
+    if min(img.size) > shorter or max(img.size) > longer:
+        img = vilt_resize(img, shorter, longer)
+    # Fixed-canvas contract: the reference pads to DYNAMIC batch-max dims
+    # (ViltProcessor), which TPU static shapes can't express.  An image whose
+    # resized dims still exceed the canvas — e.g. a portrait image, whose
+    # shorter side is its width so h grows past ch — is downscaled to FIT
+    # rather than cropped (content-preserving deviation, README).
+    w, h = img.size
+    if h > ch or w > cw:
+        scale = min(ch / h, cw / w)
+        img = img.resize(
+            (max(1, round(w * scale)), max(1, round(h * scale))), Image.BICUBIC
+        )
     return np.asarray(img.convert("RGB"), np.uint8)
 
 
@@ -91,9 +107,6 @@ def process_albef_image(img: "Image.Image", size: int = 384) -> np.ndarray:
 class ImageBackend:
     """Base: maps image_id -> file path, loads + decodes."""
 
-    def __init__(self):
-        self._cache: Dict[object, str] = {}
-
     def path_for(self, image_id) -> str:
         raise NotImplementedError
 
@@ -118,10 +131,13 @@ class DirectoryScanBackend(ImageBackend):
       toronto:  int of last '_'-part of .jpg name, same routing;
       art:      int before '-' in .jpg name, single dir;
       pvqa/med: string stem.
+
+    An id appearing in several scanned dirs resolves to the LAST dir's file
+    — the same last-write-wins the reference's combined-listdir loop has
+    (``cocoimages_dataset_crossvqas.py:46-65``; real splits don't collide).
     """
 
     def __init__(self, dirs: Sequence[str], task_key: str):
-        super().__init__()
         self.task_key = task_key
         self.imageid2filename: Dict[object, str] = {}
         for d in dirs:
@@ -147,7 +163,16 @@ class DirectoryScanBackend(ImageBackend):
             return None
 
     def path_for(self, image_id) -> str:
-        return self.imageid2filename[image_id]
+        hit = self.imageid2filename.get(image_id)
+        if hit is not None:
+            return hit
+        # annotation-side ids arrive as full filename stems on the raw-JSON
+        # build path (``datasets.py::build_examples_from_json`` keeps the
+        # stem, matching the reference's live parse at
+        # ``vqa_dataset_crossvqa.py:194``) — normalize them with the same
+        # per-task rule used for the scanned filenames, so e.g. the stem
+        # 'abstract_v002_train2015_000000000020' resolves to int key 20
+        return self.imageid2filename[self._parse_id(str(image_id))]
 
 
 class VisualGenomeBackend(ImageBackend):
@@ -155,7 +180,6 @@ class VisualGenomeBackend(ImageBackend):
     (``vgimages_dataset.py:44-47``)."""
 
     def __init__(self, root: str):
-        super().__init__()
         self.root = root
 
     def path_for(self, image_id) -> str:
@@ -167,7 +191,6 @@ class VizwizBackend(ImageBackend):
     """VizWiz: image_id IS the filename (``vizwizimages_dataset.py:44-47``)."""
 
     def __init__(self, root: str):
-        super().__init__()
         self.root = root
 
     def path_for(self, image_id) -> str:
@@ -179,7 +202,6 @@ class CocoIdBackend(ImageBackend):
     (non-federated VQAv2 path, ``cocoimages_dataset.py``)."""
 
     def __init__(self, root: str, splits=("train2014", "val2014")):
-        super().__init__()
         self.imageid2filename: Dict[object, str] = {}
         for split in splits:
             d = os.path.join(root, split)
@@ -201,7 +223,6 @@ class Flickr30kBackend(ImageBackend):
     """Flickr30K for SNLI-VE: ``{root}/{id}.jpg``."""
 
     def __init__(self, root: str):
-        super().__init__()
         self.root = root
 
     def path_for(self, image_id) -> str:
@@ -210,7 +231,9 @@ class Flickr30kBackend(ImageBackend):
 
 def make_backend(images_source: str, task_key: str, data_root: str = "./data") -> ImageBackend:
     """Backend routing (reference ``train_vqa_crossvqa.py`` image routing:
-    VG for gqa/clove, vizwiz for vizwiz, COCO-style scans otherwise)."""
+    VG for gqa/clove, vizwiz for vizwiz, COCO-style scans otherwise).
+    Routing is decided by ``images_source`` alone; ``task_key`` is accepted
+    for call-site symmetry (the id-parse rule is fixed per source here)."""
     if images_source in ("vg", "vgd"):
         return VisualGenomeBackend(os.path.join(data_root, "vg", "VG_100K"))
     if images_source == "vizwiz":

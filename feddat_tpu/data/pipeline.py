@@ -18,7 +18,7 @@ from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequ
 import numpy as np
 
 from feddat_tpu.data.datasets import VQAExample
-from feddat_tpu.data.images import process_albef_image, process_vilt_image
+from feddat_tpu.data.images import process_vilt_image
 from feddat_tpu.data.vqa_scoring import target_tensor
 
 
@@ -77,6 +77,7 @@ class ViltVQAPipeline:
         self.pixels_u8 = pixels_u8
         self._cache: Optional[Dict[Any, np.ndarray]] = {} if cache_images else None
         self._cache_left = cache_budget_bytes
+        self._cache_lock = threading.Lock()
         self._native_finalize = None
         if cache_images:
             try:
@@ -114,9 +115,14 @@ class ViltVQAPipeline:
         from feddat_tpu.data.images import vilt_resized_u8
 
         arr = vilt_resized_u8(self.backend.load(ex.image_id), self.canvas)
-        if self._cache is not None and arr.nbytes <= self._cache_left:
-            self._cache[ex.image_id] = arr
-            self._cache_left -= arr.nbytes
+        if self._cache is not None:
+            # lock: the worker pool can race two loads of the same image_id
+            # (multiple questions per image); check-then-insert must be
+            # atomic or duplicates double-charge the budget
+            with self._cache_lock:
+                if ex.image_id not in self._cache and arr.nbytes <= self._cache_left:
+                    self._cache[ex.image_id] = arr
+                    self._cache_left -= arr.nbytes
         return arr
 
     def _batch_images(self, batch_ex: List[VQAExample]):
@@ -205,8 +211,7 @@ class ViltVQAPipeline:
 
 
 def prefetch_to_device(
-    it: Iterable[Dict[str, np.ndarray]], size: int = 2, devices=None,
-    sharding=None,
+    it: Iterable[Dict[str, np.ndarray]], size: int = 2, sharding=None
 ) -> Iterator[Any]:
     """Double-buffered async host->HBM staging.
 
@@ -216,11 +221,27 @@ def prefetch_to_device(
     prefetch).  ``sharding`` (a ``jax.sharding.Sharding``) places each batch
     onto a device mesh instead of the default device — the tensor-parallel
     engine passes its batch-over-``data``-axis layout here.
+
+    Abandonment-safe: if the consumer drops the generator early (e.g. the
+    ``--debug N`` epoch truncation, ``engine.py``), the ``finally`` block
+    signals the producer to stop instead of leaving it blocked in ``q.put``
+    holding device-resident batches (same pattern as spmd.py's
+    ``_stage_batches``).
     """
     import jax
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         # exceptions must reach the consumer: a bare finally->END here would
@@ -228,17 +249,26 @@ def prefetch_to_device(
         # the training loop would silently run zero steps
         try:
             for batch in it:
-                q.put(jax.device_put(batch, sharding))
-            q.put(END)
+                if not _put(jax.device_put(batch, sharding)):
+                    return
+            _put(END)
         except BaseException as e:  # noqa: BLE001 - re-raised on the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

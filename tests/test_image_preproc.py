@@ -68,6 +68,29 @@ def test_small_image_not_upscaled():
     assert mask[:80, :100].all() and mask.sum() == 80 * 100
 
 
+def test_portrait_image_fits_canvas_not_cropped():
+    """A portrait image (shorter side = width) resizes past the 384-row
+    canvas; it must be downscaled to FIT (README deviation), never cropped."""
+    rng = np.random.RandomState(4)
+    img = _rand_img(rng, 480, 640)  # w=480, h=640 portrait
+    pixels, mask = process_vilt_image(img, canvas=(384, 640))
+    # shorter-side-384 gives (384, 512); fit-scale 384/512 gives (288, 384)
+    assert mask[:384, :288].all() and mask.sum() == 384 * 288
+    # content present at the bottom rows (a crop would have zeroed them)
+    assert np.abs(pixels[383, :288]).sum() > 0
+
+
+def test_nondefault_canvas_downscales_not_upscales():
+    """Smoke-mode canvases must downscale toward the canvas, not upscale
+    toward the hardcoded 384/640 and then lose everything to the clamp."""
+    rng = np.random.RandomState(5)
+    img = _rand_img(rng, 100, 80)
+    pixels, mask = process_vilt_image(img, canvas=(64, 64))
+    assert pixels.shape == (64, 64, 3)
+    # scale = 64/100 -> (64, 51): the full image, downscaled
+    assert mask[:51, :64].all() and mask.sum() == 51 * 64
+
+
 def test_cached_pipeline_bitwise_matches_uncached(tmp_path):
     """cache_images=True (u8 cache + fused finalize, native when available)
     must produce BITWISE-identical batches to the per-image PIL+numpy path,
