@@ -30,13 +30,18 @@ GENDER_NEUTRAL_NAMES = [
     "Harley", "Robbie", "Sidney", "Tommie", "Ashley", "Carter", "Adrian",
     "Clarke", "Logan", "Mickey", "Nicky", "Parker", "Tyler", "Reese",
     "Charlie", "Austin", "Denver", "Emerson", "Tatum", "Dallas", "Haven",
-    "Jordan",
+    "Jordan", "Robin", "Rory", "Bellamy", "Salem", "Sutton", "Gray", "Shae",
+    "Kyle", "Alex", "Ryan", "Cameron", "Dakota",
 ]
 
 
 def vcr_tag_text(elements: Sequence, objects: Sequence[str]) -> str:
-    """Object-tag substitution (``vcr_dataset.py:40-62``; the reference's
-    int-branch indexing bug — reusing a stale loop variable — is fixed)."""
+    """Object-tag substitution, text-exact with the reference
+    (``vcr_dataset.py:40-62``): a LIST tag contributes only its LAST
+    subelement's name — the reference's inner loop overwrites
+    ``temporal_text`` and appends once.  Deliberate deviation: the
+    reference's bare-int branch reads a stale loop variable (crashes or
+    substitutes the previous tag); here an int tag resolves its own index."""
 
     def name_for(idx: int) -> str:
         if objects[idx] == "person":
@@ -46,8 +51,7 @@ def vcr_tag_text(elements: Sequence, objects: Sequence[str]) -> str:
     parts: List[str] = []
     for element in elements:
         if isinstance(element, list):
-            for sub in element:
-                parts.append(name_for(int(sub)))
+            parts.append(name_for(int(element[-1])))
         elif isinstance(element, int):
             parts.append(name_for(element))
         else:
@@ -168,13 +172,14 @@ def load_vcr_examples(data_dir: str, split: str, task_type: str = "qa") -> List[
 
 
 def convert_to_low_shot_per_class(examples, num_labels: int, shots_per_class: int, seed: int = 1):
-    """Per-class subsampling (``nlvr2_dataset.py:158-189``; the reference's
-    fixed ``random.Random(1)`` seed is the default)."""
-    rng = random.Random(seed)
+    """Per-class subsampling, DRAW-EXACT with the reference
+    (``nlvr2_dataset.py:118-131``): a FRESH ``random.Random(seed)`` per
+    class — a shared generator would advance its state and select different
+    subsets for every class after the first."""
     out = []
     for c in range(num_labels):
         cls = [e for e in examples if e.label == c]
-        out.extend(rng.sample(cls, min(shots_per_class, len(cls))))
+        out.extend(random.Random(seed).sample(cls, min(shots_per_class, len(cls))))
     return out
 
 

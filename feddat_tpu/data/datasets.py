@@ -95,6 +95,16 @@ def cached_data_path(
     return base.replace(".pkl", "_fed.pkl")
 
 
+def build_cache_path(task_key: str, data_dir: str, split: str, data_root: str = "./data") -> str:
+    """Where locally-built (raw-JSON) example pickles are cached.  For the
+    ``cached_vqa_data`` tasks this is the non-``_fed`` base name — the
+    ``_fed`` files are EXTERNALLY-produced subsamples (the reference also
+    dumps builds to the base name, ``vqa_dataset_crossvqa.py:249``); a local
+    full build must never be re-loaded as if it were the fed subsample."""
+    p = cached_data_path(task_key, data_dir, split, data_root)
+    return p.replace("_fed.pkl", ".pkl") if p.endswith("_fed.pkl") else p + ".built"
+
+
 def raw_json_paths(task_key: str, data_dir: str, split: str, data_root: str = "./data"):
     """(questions_file, annotations_file) for the raw build path
     (``vqa_dataset_crossvqa.py:74-96``)."""
@@ -134,7 +144,11 @@ def build_examples_from_json(
     examples: List[VQAExample] = []
     for anno in annotations:
         qid = anno["question_id"]
-        image_id = anno["image"].split("/")[-1].split(".")[0]
+        fname = anno["image"].split("/")[-1]
+        # vizwiz image ids ARE filenames (``VizwizBackend``); every other
+        # backend keys on the extensionless stem (reference live parse,
+        # ``vqa_dataset_crossvqa.py:194``)
+        image_id = fname if "vizwiz" in task_key else fname.split(".")[0]
         qdata = qid2qdata[qid]
         question = qdata["question"]
         input_ids: List[int] = []
@@ -180,6 +194,9 @@ def load_examples(
     (``vqa_dataset_crossvqa.py:125-251``).  The reference shuffles cached
     data with global ``random``; here the shuffle is explicit and seeded."""
     cache = cached_data_path(task_key, data_dir, split, data_root)
+    built = build_cache_path(task_key, data_dir, split, data_root)
+    if not os.path.isfile(cache) and os.path.isfile(built):
+        cache = built  # a previous local raw-JSON build (never the fed file)
     if os.path.isfile(cache):
         with open(cache, "rb") as f:
             raw = pickle.load(f)
@@ -199,8 +216,8 @@ def load_examples(
         ans2label = load_ans2label(task_key, data_dir, data_root)
         qf, af = raw_json_paths(task_key, data_dir, split, data_root)
         examples = build_examples_from_json(qf, af, ans2label, task_key, tokenizer)
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        with open(cache, "wb") as f:
+        os.makedirs(os.path.dirname(built), exist_ok=True)
+        with open(built, "wb") as f:
             pickle.dump(
                 [e.__dict__ for e in examples], f
             )
@@ -281,11 +298,11 @@ def load_vqav2_examples(
     return examples
 
 
-def convert_to_low_shot(examples: List[VQAExample], pct: float, seed: int = 0) -> List[VQAExample]:
-    """Low-shot subsampling (reference ``vqa_dataset.py`` ``convert_to_low_shot``)."""
-    import numpy as np
+def convert_to_low_shot(examples: List[VQAExample], pct: float, seed: int = 1) -> List[VQAExample]:
+    """Low-shot subsampling, DRAW-EXACT with the reference
+    (``vqa_dataset.py:172-183``: ``random.Random(1).sample`` over
+    ``int(pct * n)`` examples) so the same seed selects the same subset."""
+    import random
 
-    rng = np.random.RandomState(seed)
-    n = max(1, int(len(examples) * pct))
-    idx = rng.permutation(len(examples))[:n]
-    return [examples[i] for i in idx]
+    n = int(len(examples) * pct)
+    return random.Random(seed).sample(examples, n)

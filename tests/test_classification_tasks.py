@@ -44,6 +44,35 @@ def test_vcr_tag_text_substitution():
     assert "Casey" in out and "the gray dog" in out
 
 
+def test_vcr_tag_text_list_keeps_last_subelement_only():
+    """Reference parity (``vcr_dataset.py:47-52``): the inner loop
+    overwrites ``temporal_text``, so a multi-person tag contributes only
+    the LAST index's name."""
+    objects = ["person", "dog", "person"]
+    out = vcr_tag_text(["are", [0, 2], "talking"], objects)
+    assert "Jessie" in out and "Casey" not in out
+    assert out == "are Jessie talking "
+
+
+def test_low_shot_per_class_fresh_rng_per_class():
+    """Reference parity (``nlvr2_dataset.py:126-129``): a FRESH
+    ``random.Random(1)`` per class, not one shared generator."""
+    import random as _random
+    from dataclasses import dataclass
+
+    @dataclass
+    class E:
+        label: int
+        idx: int
+
+    ex = [E(c, i) for c in range(2) for i in range(50)]
+    low = convert_to_low_shot_per_class(ex, num_labels=2, shots_per_class=5, seed=1)
+    for c in range(2):
+        cls = [e for e in ex if e.label == c]
+        want = _random.Random(1).sample(cls, 5)
+        assert low[c * 5 : (c + 1) * 5] == want
+
+
 def test_nlvr2_ingest_and_pipeline(tmp_path):
     data = tmp_path / "nlvr2"
     (data / "data").mkdir(parents=True)

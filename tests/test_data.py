@@ -108,6 +108,61 @@ def test_load_examples_cached_pickle(tmp_path):
     assert len(ex) == 1 and ex[0].labels == [3]
 
 
+def test_local_build_never_masquerades_as_fed_cache(tmp_path):
+    """A local raw-JSON build caches under the non-``_fed`` base name; an
+    externally-provided ``_fed`` subsample pickle always wins (regression:
+    the full build was dumped to the fed filename, so later runs silently
+    trained on the full dataset believing it was the subsample)."""
+    combined = [
+        {"question_id": 1, "question": "what color", "image": "imgs/pic_7.jpg",
+         "answer": ["red", "red", "blue"]},
+        {"question_id": 2, "question": "how many", "image": "imgs/pic_8.jpg",
+         "answer": ["2"]},
+    ]
+    with open(os.path.join(str(tmp_path), "toronto_train.json"), "w") as f:
+        json.dump(combined, f)
+    a2l_dir = tmp_path / "toronto"
+    a2l_dir.mkdir()
+    with open(a2l_dir / "ans2label.pkl", "wb") as f:
+        pickle.dump({"red": 0, "blue": 1, "2": 2}, f)
+    ex = load_examples("toronto", str(tmp_path), "train", data_root=str(tmp_path))
+    assert len(ex) == 2
+    cache_dir = os.path.join(str(tmp_path), "cached_vqa_data")
+    assert os.path.isfile(os.path.join(cache_dir, "vqa_train.pkl"))
+    assert not os.path.isfile(os.path.join(cache_dir, "vqa_train_fed.pkl"))
+    # second run loads the built cache
+    ex2 = load_examples("toronto", str(tmp_path), "train", data_root=str(tmp_path))
+    assert len(ex2) == 2
+    # an external fed subsample takes priority over the built cache
+    with open(os.path.join(cache_dir, "vqa_train_fed.pkl"), "wb") as f:
+        pickle.dump([{"question_id": 9, "image_id": "z", "question": "q",
+                      "labels": [0], "scores": [1.0], "answers": ["a"]}], f)
+    ex3 = load_examples("toronto", str(tmp_path), "train", data_root=str(tmp_path))
+    assert len(ex3) == 1 and ex3[0].question_id == 9
+
+
+def test_vizwiz_build_keeps_filename_image_ids(tmp_path):
+    """VizwizBackend treats image_id as the literal filename, so the
+    raw-JSON build must not strip the extension for vizwiz tasks."""
+    qf, af = _write_raw_json(str(tmp_path))
+    ex = build_examples_from_json(qf, af, {"red": 0, "blue": 1, "2": 2}, "vizwiz")
+    assert ex[0].image_id == "pic_7.jpg"
+
+
+def test_low_shot_draw_matches_reference_algorithm():
+    """convert_to_low_shot must be draw-exact with the reference's
+    ``random.Random(1).sample`` (``vqa_dataset.py:172-183``) so the same
+    5% subset is selected."""
+    import random as _random
+
+    from feddat_tpu.data.datasets import convert_to_low_shot
+
+    items = list(range(200))
+    ours = convert_to_low_shot(items, 0.05, seed=1)
+    ref = _random.Random(1).sample(items, int(0.05 * 200))
+    assert ours == ref
+
+
 def test_vilt_pipeline_shapes(tmp_path):
     from PIL import Image
 
