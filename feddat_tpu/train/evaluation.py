@@ -12,11 +12,10 @@ masked sum replaces the reference's gather + last-batch truncation
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, List, Sequence, Union
+from typing import Any, Callable, Dict, Iterable, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from feddat_tpu.data.vqa_scoring import batch_accuracy, compute_score_with_logits
 from feddat_tpu.models.adapters import MODE_ENSEMBLE
@@ -56,7 +55,6 @@ def make_albef_eval_step(model, answer_ids, answer_mask, k: int = 64, pad_token_
     ``answer_ids/mask``: the task's tokenized answer bank [num_answers, La].
     Returns jitted ``(params, batch, adapter_mode) -> masked hit-count``.
     """
-    import jax.numpy as jnp
     from functools import partial
 
     from feddat_tpu.models.albef import AlbefModel
@@ -102,12 +100,18 @@ def evaluate(
 
     ``debug_steps`` reproduces the reference's ``--debug N`` eval truncation
     (``task_trainer.py:122-123,165-166``: batches 0..N run, the denominator
-    stays the full dataset size)."""
-    total = 0.0
+    stays the full dataset size).
+
+    Per-batch scores stay ON DEVICE until the loop ends: a ``float()`` per
+    batch would block the host on every step, serializing batch build/H2D
+    transfer with device compute (the tunnel's H2D bandwidth makes that the
+    dominant eval cost)."""
+    partials = []
     for step_idx, batch in enumerate(batches):
         if debug_steps and step_idx > debug_steps:
             break
-        total += float(eval_step(params, batch, adapter_mode=adapter_mode))
+        partials.append(eval_step(params, batch, adapter_mode=adapter_mode))
+    total = float(sum(float(p) for p in jax.device_get(partials))) if partials else 0.0
     return total / max(1, num_examples) * 100.0
 
 

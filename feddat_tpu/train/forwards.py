@@ -9,11 +9,9 @@ the step builders consume.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 
 from feddat_tpu.train.losses import bce_with_logits_vqa, cross_entropy
 

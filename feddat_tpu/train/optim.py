@@ -15,10 +15,11 @@ Torch-parity notes:
   * torch LambdaLR applies ``factor(k)`` to the k-th update (0-indexed,
     factor(0)=0 when warmup>0) — same convention as ``schedule(count)`` here.
   * the reference's no-decay name match is ``['bias', 'LayerNorm.weight']``;
-    on the live DAT/adapter path the trainable params are adapter/head
-    Linears + head LN whose torch names match only on ``bias`` (the head LN
-    is ``clf_norm0.weight``), so the structural rule here is: no decay iff
-    the leaf is a bias.
+    structurally that is: every bias, plus the LN scales of BERT-lineage
+    modules literally named ``LayerNorm`` in torch (see ``_decay_mask``).
+    The DAT/adapter path is insensitive (adapters are Linears; the head LN's
+    torch name ``clf_norm0.weight`` does not match and IS decayed), but the
+    ``norm``/``full`` PEFT modes train encoder LNs where the split matters.
 """
 
 from __future__ import annotations
@@ -68,10 +69,37 @@ def polynomial_schedule_dyn(cfg: OptimizerConfig) -> Callable[[jnp.ndarray, jnp.
     return schedule
 
 
+# Modules whose torch parameter is literally named ``LayerNorm.weight`` —
+# the only LN scales in the reference's no-decay group.  HF-ViLT's
+# layernorm_before/layernorm_after/layernorm, timm-ViT's norm1/norm2/norm
+# and the clf head LN carry lowercase/renamed torch names and ARE decayed
+# by the reference's substring match.
+_TORCH_LAYERNORM_WEIGHT_PARENTS = (
+    "norm",  # text/xbert embeddings LayerNorm
+    "attention_norm",
+    "crossattention_norm",
+    "output_norm",
+    "transform_norm",
+)
+
+
 def _decay_mask(params) -> Any:
+    """Reference no-decay routing (``task_trainer.py:496-503``): torch names
+    containing ``'bias'`` or ``'LayerNorm.weight'`` skip weight decay."""
     flat = traverse_util.flatten_dict(params)
-    mask = {k: (str(k[-1]) != "bias") for k in flat}
-    return traverse_util.unflatten_dict(mask)
+
+    def decays(k) -> bool:
+        if str(k[-1]) == "bias":
+            return False
+        if (
+            str(k[-1]) == "scale"
+            and len(k) > 1
+            and str(k[-2]) in _TORCH_LAYERNORM_WEIGHT_PARENTS
+        ):
+            return False
+        return True
+
+    return traverse_util.unflatten_dict({k: decays(k) for k in flat})
 
 
 def adamw_direction(cfg: OptimizerConfig) -> optax.GradientTransformation:

@@ -165,13 +165,24 @@ def albef_fused_parts(model, frozen_rest, pad_token_id: int):
     return encode, head_fn, albef_fused_task_loss(pad_token_id)
 
 
-def resolve_trainer(encoder_name: str, trainer_kind: str, **kwargs) -> TrainerHooks:
-    """trainer_kind per ``feddat_tpu.configs.tasks.TaskSpec.trainer``."""
+def resolve_trainer(
+    encoder_name: str,
+    trainer_kind: str,
+    answer_banks: Optional[Dict[str, Any]] = None,
+    rank_k: int = 64,
+    pad_token_id: int = 0,
+) -> TrainerHooks:
+    """trainer_kind per ``feddat_tpu.configs.tasks.TaskSpec.trainer``.
+    Explicit keywords (no ``**kwargs``): a swallowed option like
+    ``pad_token_id`` would silently mis-mask LM targets."""
     if encoder_name.startswith("albef"):
+        if answer_banks is None:
+            raise ValueError("albef trainers require answer_banks")
         return albef_hooks(
-            kwargs["answer_banks"],
+            answer_banks,
             distill=encoder_name == "albef_distill",
-            rank_k=kwargs.get("rank_k", 64),
+            rank_k=rank_k,
+            pad_token_id=pad_token_id,
         )
     if trainer_kind in ("vqa_cross", "vqa"):
         return vilt_hooks(loss="vqa", metric="vqa_score")

@@ -65,3 +65,40 @@ def test_adamw_trajectory_matches_torch():
 
     np.testing.assert_allclose(np.asarray(params["layer"]["kernel"]), tw.detach().numpy(), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(params["layer"]["bias"]), tb.detach().numpy(), rtol=2e-5, atol=1e-6)
+
+
+def test_decay_mask_reference_no_decay_groups():
+    """Reference no-decay = names containing 'bias' or 'LayerNorm.weight'
+    (``task_trainer.py:496-503``).  BERT-lineage LN scales (torch module
+    literally named LayerNorm) skip decay; HF-ViLT/timm norms (lowercase
+    torch names) and the clf head LN are decayed."""
+    from feddat_tpu.train.optim import _decay_mask
+
+    z = lambda: 0.0  # leaf values are irrelevant
+    params = {
+        "text_embeddings": {"norm": {"scale": z(), "bias": z()}},
+        "layers": {"layer": {
+            "norm_before": {"scale": z(), "bias": z()},
+            "attention_norm": {"scale": z(), "bias": z()},
+            "output_norm": {"scale": z(), "bias": z()},
+            "mlp": {"intermediate": {"kernel": z(), "bias": z()}},
+        }},
+        "final_norm": {"scale": z(), "bias": z()},
+        "task_x": {"clf_norm0": {"scale": z(), "bias": z()}},
+        "cls": {"transform_norm": {"scale": z(), "bias": z()}},
+    }
+    m = _decay_mask(params)
+    # biases never decay
+    assert not m["layers"]["layer"]["mlp"]["intermediate"]["bias"]
+    assert not m["final_norm"]["bias"]
+    # kernels decay
+    assert m["layers"]["layer"]["mlp"]["intermediate"]["kernel"]
+    # torch-'LayerNorm' scales skip decay
+    assert not m["text_embeddings"]["norm"]["scale"]
+    assert not m["layers"]["layer"]["attention_norm"]["scale"]
+    assert not m["layers"]["layer"]["output_norm"]["scale"]
+    assert not m["cls"]["transform_norm"]["scale"]
+    # lowercase-torch-named norms DO decay (reference substring quirk)
+    assert m["layers"]["layer"]["norm_before"]["scale"]
+    assert m["final_norm"]["scale"]
+    assert m["task_x"]["clf_norm0"]["scale"]
