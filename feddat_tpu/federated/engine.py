@@ -28,11 +28,9 @@ import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 
 from feddat_tpu.configs.core import OptimizerConfig, PEFTMode, TrainConfig
 from feddat_tpu.federated.fedavg import fedavg
-from feddat_tpu.models.adapters import MODE_ENSEMBLE
 from feddat_tpu.peft.partition import (
     comm_roles,
     label_params,
@@ -257,13 +255,22 @@ class FederatedTrainer:
         return forward
 
     # -- internals ---------------------------------------------------------
-    def _client_params(self, client: ClientRuntime) -> Dict[str, Any]:
+    def _client_params(self, client: ClientRuntime, refresh: bool = True) -> Dict[str, Any]:
+        """Server params with the client's personal partition swapped in.
+
+        ``refresh`` applies the DAT teacher refresh (``adapter_2 <-
+        adapter_1``) — done at *train* start only (``task_trainer.py:36-45``).
+        Eval must NOT refresh: the reference evaluates the post-aggregation
+        server model with the client's stored personal params (including the
+        adapter_2 captured after its last local training) swapped in
+        (``main.py:520-558``), which is also what the SPMD engine does.
+        """
         from feddat_tpu.peft.partition import merge
 
         personal = self.personal[client.task_key]
         _, rest = split_by_roles(self.server_params, self.labels, self._personal_roles)
         params = merge(rest, personal)
-        if self.mode == PEFTMode.DAT:
+        if refresh and self.mode == PEFTMode.DAT:
             params = teacher_refresh(params)
         return params
 
@@ -274,7 +281,6 @@ class FederatedTrainer:
         state = init_train_state(params, client.partitioner, client.opt_cfg, client_rng)
         if self.aux_init is not None:
             state = state.replace(aux=self.aux_init(params))
-        steps = 0
         on_accelerator = jax.default_backend() != "cpu"
         for epoch in range(self.config.federated.local_epochs):
             it = client.data.train_batches(epoch=round_idx * 1000 + epoch)
@@ -293,7 +299,6 @@ class FederatedTrainer:
                 if self.batch_transform is not None:
                     batch = self.batch_transform(batch, epoch, step_idx, spe)
                 state, metrics = client.train_step(state, batch)
-                steps += 1
                 if self.metrics is not None:
                     bs = next(iter(batch.values())).shape[0]
                     self.metrics.step(metrics, bs, client.task_key)
@@ -327,7 +332,7 @@ class FederatedTrainer:
         results = {}
         dbg = self.config.debug_steps
         for client in self.clients:
-            params = self._client_params(client)
+            params = self._client_params(client, refresh=False)
             n = client.data.num_eval_examples
             if self.mode == PEFTMode.DAT:
                 score = evaluate_dat(
@@ -401,7 +406,7 @@ class FederatedTrainer:
                         self.server_params, self.labels, self._comm_roles
                     )
                     self.server_params = merge(rest, comm)
-            params = self._client_params(client)
+            params = self._client_params(client, refresh=False)
             n = client.data.num_eval_examples
             if self.mode == PEFTMode.DAT:
                 results[client.task_key] = evaluate_dat(

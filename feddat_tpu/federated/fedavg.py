@@ -25,6 +25,12 @@ def fedavg(
     n = len(comm_trees)
     if weights is None:
         weights = [1.0] * n
+    if len(weights) != n:
+        # zip() would silently drop clients / shrink the average; the SPMD
+        # engine rejects the same config loudly — match it
+        raise ValueError(
+            f"client_weights has {len(weights)} entries for {n} clients"
+        )
     total = float(np.sum(weights))
     norm = [float(w) / total for w in weights]
 

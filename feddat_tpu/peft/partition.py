@@ -52,7 +52,11 @@ def _role_of_path(path: Tuple[str, ...]) -> str:
     its mode branches are exclusive).
     """
     joined = "/".join(path)
-    if "task_" in joined or ".cls." in joined or "/cls/" in joined:
+    # heads: ViLT per-task modules (``task_<key>/...``) and ALBEF's LM
+    # prediction head (a ``cls`` path component, reference ``main.py:127-130``)
+    # — component-exact like ``Partitioner.head_paths`` so the two head
+    # matchers can never disagree
+    if "task_" in joined or "cls" in path:
         return ROLE_HEAD
     if "adapter_1" in joined:
         return ROLE_SHARED
@@ -196,17 +200,6 @@ def teacher_refresh(params: Params) -> Params:
             tgt = tuple(p.replace("adapter_1", "adapter_2") for p in strs)
             if tgt in flat:
                 out[tgt] = value
-    return traverse_util.unflatten_dict(out)
-
-
-def zeros_mask_like(params: Params, labels: Params, roles: FrozenSet[str]) -> Params:
-    """Pytree of {1.0 inside roles, 0.0 outside} — used to mask gradients."""
-    flat_p = traverse_util.flatten_dict(params)
-    flat_l = traverse_util.flatten_dict(labels)
-    out = {
-        k: jnp.ones((), v.dtype) if flat_l[k] in roles else jnp.zeros((), v.dtype)
-        for k, v in flat_p.items()
-    }
     return traverse_util.unflatten_dict(out)
 
 

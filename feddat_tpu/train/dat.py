@@ -103,29 +103,59 @@ class Partitioner:
             # transformer layers frozen, upper layers + heads train.  (The
             # reference's fed branch blanket-freezes everything first,
             # reducing this mode to heads-only — an apparent regression we
-            # do not reproduce; ``main.py:137-139, 169-171``.)  Per-layer
+            # do not reproduce; ``main.py:137-139, 169-171``.  Its ALBEF
+            # freeze helper is vestigial and crashes, ``albef.py:82-92`` —
+            # here the mode is well-defined for every family.)  Per-layer
             # freezing over nn.scan-stacked params = a leading-axis grad
             # mask on the layer stacks.
-            roles = trainable_roles(mode) - {ROLE_HEAD}
+            #
+            # Stack components and their global layer-index offsets: ViLT's
+            # ``layers/layer`` and the ViT's ``blocks/block`` index from 0;
+            # ALBEF's text encoder is ONE 12-layer BERT split into two scan
+            # stacks (``text_layers`` 0..5, ``fusion_layers`` 6..11 — the
+            # checkpoint surgery's split, ``albef.py:219-241``), so fusion
+            # stacks (incl. the decoder's, the original layers >= 6) index
+            # from the text depth.
             flat_p = traverse_util.flatten_dict(params)
+            text_depth = max(
+                (flat_p[p].shape[0] for p in flat_p if "text_layers" in p),
+                default=0,
+            )
+            STACKS = {"layers": 0, "blocks": 0, "text_layers": 0,
+                      "fusion_layers": text_depth}
+            # ViT embedding leaves live outside any *embeddings* module
+            VISION_EMBEDS = ("patch_embed", "pos_embed", "cls_token")
+            roles = trainable_roles(mode) - {ROLE_HEAD}
             paths = set()
             for p, l in flat_labels.items():
-                joined = "/".join(str(s) for s in p)
-                if l not in roles:
+                strs = tuple(str(s) for s in p)
+                if l not in roles or "text_bert" in strs:
                     continue
-                if "embeddings" in joined:
+                if any("embeddings" in s for s in strs) or any(
+                    s in VISION_EMBEDS for s in strs
+                ):
                     continue
                 paths.add(p)
-                if ("layers" in joined or "blocks" in joined) and "layer" in joined:
+                stack = next((s for s in strs if s in STACKS), None)
+                if stack is not None:
                     leaf = flat_p[p]
                     num_layers = leaf.shape[0]
-                    mask = (jnp.arange(num_layers) >= layers_to_freeze).astype(leaf.dtype)
+                    idx = STACKS[stack] + jnp.arange(num_layers)
+                    mask = (idx >= layers_to_freeze).astype(leaf.dtype)
                     self.grad_mask[p] = mask.reshape((num_layers,) + (1,) * (leaf.ndim - 1))
             self.shared_paths = frozenset(paths)
             self.local_paths = frozenset()
         else:
             roles = trainable_roles(mode) - {ROLE_HEAD}
-            self.shared_paths = frozenset(p for p, l in flat_labels.items() if l in roles)
+            # ViltBert's text_bert is structurally frozen (stop_gradient,
+            # ``viltbert.py::get_bert_outputs``): keep it out of the
+            # optimizer so decoupled weight decay can't mutate it under
+            # FULL/NORM/BIAS (torch AdamW skips grad-None params; optax
+            # would decay them)
+            self.shared_paths = frozenset(
+                p for p, l in flat_labels.items()
+                if l in roles and "text_bert" not in tuple(str(s) for s in p)
+            )
             self.local_paths = frozenset()
 
     def extract(self, params: Dict[str, Any], paths: FrozenSet[Tuple]) -> Dict[str, Any]:
@@ -398,10 +428,14 @@ def dat_step_core_joint(
     ``adapter_names`` / ``ensemble_weight`` MUST match the model's
     ``AdapterSpec`` (names order and ``ensemble_weight``) — pass them from
     the spec when it deviates from the DAT defaults, or the step silently
-    trains a different ensemble mix than eval uses.
+    trains a different ensemble mix than eval uses.  ``spec.scaling`` must
+    be 1.0 (the reference constant, ``adapter.py:26``): MODE_WEIGHTED
+    applies scaling to every row, while the standard step's single-adapter
+    pass (reference parity) does not, so the stage-② rows would diverge
+    under any other value.
     """
     tx = adamw_direction(opt_cfg)
-    schedule = polynomial_schedule(opt_cfg, max_steps)
+    lr_at = _make_lr_at(opt_cfg, max_steps)
     P = partitioner
 
     def maybe_pmean(tree):
@@ -423,7 +457,12 @@ def dat_step_core_joint(
         shared = P.extract(params, P.shared_paths)
 
         B = batch["input_ids"].shape[0]
-        batch2 = {k: jnp.concatenate([v, v], axis=0) for k, v in batch.items()}
+        # double only per-example channels; scalar side channels (the SPMD
+        # full-epochs ``_sched_total`` horizon) pass through unchanged
+        batch2 = {
+            k: (v if k.startswith("_") else jnp.concatenate([v, v], axis=0))
+            for k, v in batch.items()
+        }
         batch2["adapter_weights"] = jnp.concatenate(
             [jnp.tile(ens, (B, 1)), jnp.tile(single, (B, 1))], axis=0
         )
@@ -448,7 +487,7 @@ def dat_step_core_joint(
             loss1, argnums=(0, 1), has_aux=True
         )(head, pooled_1)
         g_head1 = maybe_pmean(g_head1)
-        lr1 = schedule(state.sched_count)
+        lr1 = lr_at(state.sched_count, batch)
         head2, opt_head = apply_direction(tx, g_head1, state.opt_states["head"], head, lr1)
         logits_1 = jax.lax.stop_gradient(logits_1)
 
@@ -470,7 +509,7 @@ def dat_step_core_joint(
         new_shared, opt_shared = apply_direction(
             tx, g_shared, state.opt_states["shared"], shared, lr1
         )
-        lr0 = schedule(state.sched_count + 1)
+        lr0 = lr_at(state.sched_count + 1, batch)
         new_local, opt_local = apply_direction(
             tx, g_local, state.opt_states["local"], local, lr0
         )

@@ -196,3 +196,36 @@ def test_xbert_masked_lm_smoke():
     enc = rng.randn(2, 5, 32).astype(np.float32)
     logits_mm = m.apply(v, ids, mask, encoder_hidden_states=enc)
     assert logits_mm.shape == (2, 8, 100)
+
+
+def test_freeze_bottom_k_covers_all_towers(albef_setup):
+    """FREEZE_BOTTOM_K on ALBEF: vision embeddings (patch_embed/pos_embed/
+    cls_token) frozen; every stacked tower carries a leading-axis grad mask;
+    fusion stacks (encoder AND decoder — the original BERT layers >=
+    fusion_layer, per the checkpoint surgery) index from the text depth.
+    The reference's ALBEF freeze helper is vestigial and crashes
+    (``src/modeling/albef.py:82-92``); here the mode is well-defined."""
+    model, params, client = albef_setup
+    part = Partitioner(params, "fed", PEFTMode.FREEZE_BOTTOM_K, layers_to_freeze=3)
+    trainable_joined = ["/".join(str(s) for s in p) for p in part.shared_paths]
+    for name in ("patch_embed", "pos_embed", "cls_token", "embeddings"):
+        assert not any(name in j for j in trainable_joined), name
+
+    def masks(pred):
+        sel = [p for p in part.shared_paths if pred(p)]
+        assert sel, "tower missing from trainable set"
+        out = set()
+        for p in sel:
+            assert p in part.grad_mask, p
+            out.add(tuple(np.asarray(part.grad_mask[p]).reshape(-1).tolist()))
+        assert len(out) == 1, out
+        return next(iter(out))
+
+    # vision: 2 blocks at global idx 0,1 -> all frozen under k=3
+    assert masks(lambda p: "blocks" in p) == (0.0, 0.0)
+    # text stack: layers 0,1 -> frozen
+    assert masks(lambda p: "text_layers" in p) == (0.0, 0.0)
+    # fusion stacks: global idx 2,3 -> [frozen, trainable], same for the
+    # decoder (original layers >= fusion_layer)
+    assert masks(lambda p: "fusion_layers" in p and p[0] == "text_encoder") == (0.0, 1.0)
+    assert masks(lambda p: "fusion_layers" in p and p[0] == "text_decoder") == (0.0, 1.0)

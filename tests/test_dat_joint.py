@@ -102,3 +102,33 @@ def test_weighted_adapter_mode_matches_static_modes():
         np.asarray(enc("weighted", [0.5, 0.0, 0.5])), np.asarray(enc("ensemble")),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_joint_step_matches_standard_with_sched_total():
+    """The joint step must honor the SPMD full-epochs per-slot schedule
+    horizon (``_sched_total``) exactly like the standard core, and must not
+    try to example-double the scalar side channel."""
+    model = ViltContinualLearner(TINY_VILT, {"coco": TaskHeadSpec(num_labels=16)})
+    batch = tiny_batch(np.random.RandomState(11))
+    B = batch["input_ids"].shape[0]
+    # a horizon deliberately different from max_steps=100
+    batch = dict(batch, _sched_total=np.full((B,), 17, np.int32))
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    part = Partitioner(params, "coco", PEFTMode.DAT)
+
+    std_step = make_dat_train_step(
+        make_vilt_forward(model, "coco"), part, OPT, max_steps=100, donate=False
+    )
+    joint_step = _make_joint(model, params, part)
+    s_std = init_train_state(params, part, OPT, jax.random.PRNGKey(0))
+    s_joint = init_train_state(params, part, OPT, jax.random.PRNGKey(0))
+    for _ in range(3):
+        s_std, m_std = std_step(s_std, batch)
+        s_joint, m_joint = joint_step(s_joint, batch)
+        np.testing.assert_allclose(float(m_std["lr"]), float(m_joint["lr"]), rtol=1e-6)
+    f0 = traverse_util.flatten_dict(s_std.params)
+    f1 = traverse_util.flatten_dict(s_joint.params)
+    for k in f0:
+        np.testing.assert_allclose(
+            np.asarray(f0[k]), np.asarray(f1[k]), rtol=2e-5, atol=1e-7, err_msg=str(k)
+        )

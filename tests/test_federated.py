@@ -139,3 +139,37 @@ def test_adapter_mode_round_runs():
     trainer, _ = _make_trainer(mode=PEFTMode.ADAPTER, rounds=1, n=2, vilt_cfg=cfg)
     history = trainer.run()
     assert history
+
+
+def test_fedavg_rejects_weight_length_mismatch():
+    import pytest
+
+    trees = [{"w": jnp.ones(2)}, {"w": jnp.zeros(2)}, {"w": jnp.ones(2)}]
+    with pytest.raises(ValueError, match="client_weights"):
+        fedavg(trees, weights=[0.5, 0.5])
+
+
+def test_eval_uses_stored_teacher_not_refreshed():
+    """DAT eval swaps in the client's STORED personal adapter_2 without a
+    teacher refresh — the reference evaluates the post-aggregation server
+    model with the personal params swapped in (``main.py:520-558``), so the
+    eval-time teacher is the one captured after the client's last local
+    training (== pre-round server adapter_1), not the post-round average.
+    The SPMD engine refreshes only at round start; the oracle must match."""
+    trainer, _ = _make_trainer(rounds=1)
+    trainer.run_round(0)
+    client = trainer.clients[0]
+    params = trainer._client_params(client, refresh=False)
+    flat = traverse_util.flatten_dict(params)
+    pflat = traverse_util.flatten_dict(trainer.personal[client.task_key])
+    teacher_keys = [k for k in pflat if any("adapter_2" in str(s) for s in k)]
+    assert teacher_keys
+    for k in teacher_keys:
+        np.testing.assert_array_equal(np.asarray(flat[k]), np.asarray(pflat[k]))
+    # a refresh against the post-round server adapter_1 would differ
+    sflat = traverse_util.flatten_dict(trainer.server_params)
+    diffs = 0
+    for k in teacher_keys:
+        k1 = tuple(str(s).replace("adapter_2", "adapter_1") for s in k)
+        diffs += int(not np.allclose(np.asarray(flat[k]), np.asarray(sflat[k1])))
+    assert diffs > 0, "post-round server adapter_1 should differ from the stored teacher"

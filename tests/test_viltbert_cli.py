@@ -100,3 +100,36 @@ def test_cli_parser_reference_surface():
     assert resolve_task_keys("domain") == ("art", "abstract", "vizwiz", "toronto", "gqa")
     assert resolve_task_keys("scene") == tuple(f"clove_scene_{l}" for l in "abcdef")
     assert resolve_task_keys("art,gqa") == ("art", "gqa")
+
+
+def test_full_mode_excludes_frozen_bert_from_optimizer():
+    """text_bert is structurally frozen (stop_gradient): it must stay out of
+    the optimizer's trainable set, or optax's decoupled weight decay would
+    mutate it despite zero grads (torch AdamW skips grad-None params)."""
+    from feddat_tpu.train.dat import make_plain_train_step
+
+    model = ViltBertContinualLearner(TINY_VILT, {"coco": TaskHeadSpec(num_labels=16)})
+    batch = tiny_batch(np.random.RandomState(0))
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    for mode in (PEFTMode.FULL, PEFTMode.FREEZE_BOTTOM_K):
+        part = Partitioner(params, "coco", mode, layers_to_freeze=1)
+        assert not any(str(k[0]) == "text_bert" for k in part.shared_paths), mode
+
+    part = Partitioner(params, "coco", PEFTMode.FULL)
+    opt = OptimizerConfig(lr=1e-2, weight_decay=0.1, warmup_ratio=0.0)
+    state = init_train_state(params, part, opt, jax.random.PRNGKey(0))
+    step = make_plain_train_step(
+        make_vilt_forward(model, "coco"), part, opt, 100, "none", donate=False
+    )
+    state, _ = step(state, batch)
+    f0 = traverse_util.flatten_dict(params)
+    f1 = traverse_util.flatten_dict(state.params)
+    changed = 0
+    for k in f0:
+        if str(k[0]) == "text_bert":
+            np.testing.assert_array_equal(
+                np.asarray(f0[k]), np.asarray(f1[k]), err_msg=str(k)
+            )
+        else:
+            changed += int(not np.array_equal(np.asarray(f0[k]), np.asarray(f1[k])))
+    assert changed > 0
