@@ -69,7 +69,9 @@ class LoraSpec:
     ``src/modeling/adaptered_output.py:28-53``, loralib ``r=16``)."""
 
     rank: int = 16
-    alpha: float = 16.0  # loralib default lora_alpha == r -> scaling 1.0
+    # The reference calls ``lora.Linear(d, d, r=16)`` with no ``lora_alpha``;
+    # loralib's default is 1, so the effective LoRA scaling is alpha/r = 1/16.
+    alpha: float = 1.0
     enabled: bool = False
 
 

@@ -52,18 +52,25 @@ def ensemble_members(names: Sequence[str]) -> tuple[str, str]:
     return ("adapter_0", "adapter_1")
 
 
-class _LinearParams(nn.Module):
-    """Parameter holder with nn.Dense-compatible param names/shapes."""
+class _DenseParams(nn.Module):
+    """Declares the params of an ``nn.Dense`` (same names/shapes/inits)
+    WITHOUT computing it, so a parent can fuse several projections into one
+    matmul while the param tree stays byte-identical to the unfused path.
+    (Lives here rather than in ``layers.py`` — which imports this module —
+    so both adapter cells and attention blocks share one declaration twin.)"""
 
-    d_in: int
-    d_out: int
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.normal(stddev=0.02)
 
     @nn.compact
-    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        kernel = self.param(
-            "kernel", nn.initializers.normal(stddev=0.02), (self.d_in, self.d_out)
+    def __call__(self, in_features: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param("kernel", self.kernel_init, (in_features, self.features), jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.d_out,))
         return kernel, bias
 
 
@@ -98,8 +105,8 @@ class AdapterCell(nn.Module):
         # personalization partitioning).
         weights = {}
         for name in self.spec.names:
-            wd, bd = _LinearParams(self.model_dim, bottleneck, name=f"{name}_down")()
-            wu, bu = _LinearParams(bottleneck, self.model_dim, name=f"{name}_up")()
+            wd, bd = _DenseParams(bottleneck, name=f"{name}_down")(self.model_dim)
+            wu, bu = _DenseParams(self.model_dim, name=f"{name}_up")(bottleneck)
             weights[name] = (wd, bd, wu, bu)
 
         def cast(t):
@@ -116,14 +123,17 @@ class AdapterCell(nn.Module):
 
         if mode == MODE_WEIGHTED:
             # per-example blend; weight columns follow self.spec.names order.
-            # z is [B, S, D] (or [B, D]); weights broadcast over trailing dims
+            # z is [B, S, D] (or [B, D]); weights broadcast over trailing dims.
+            # Scaling matches MODE_ENSEMBLE: the reference multiplies every
+            # weighted aggregation by ``self.scaling`` (``adapter.py:144,161``)
+            # — required for joint-step == standard-step equivalence.
             assert weights_bx is not None, "MODE_WEIGHTED needs adapter weights"
             out = jnp.zeros_like(z)
             for i, name in enumerate(self.spec.names):
                 w = weights_bx[:, i].astype(z.dtype)
                 w = w.reshape(w.shape + (1,) * (z.ndim - 1))
                 out = out + w * one(name)
-            return out
+            return out * self.spec.scaling
 
         if mode == MODE_ENSEMBLE:
             a, b = ensemble_members(self.spec.names)
@@ -146,9 +156,3 @@ class AdapterCell(nn.Module):
                 f"('{MODE_NONE}', '{MODE_ENSEMBLE}')"
             )
         return one(mode)
-
-    def __call__(self, hidden_states: jnp.ndarray, residual: jnp.ndarray, mode: str) -> jnp.ndarray:
-        """ViLT-style application: ``residual + delta(hidden_states)``
-        (reference ``adapter.py:124-131``, where callers pass
-        ``adapter(h, h)``)."""
-        return residual + self.delta(hidden_states, mode)

@@ -21,8 +21,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from feddat_tpu.configs.core import AdapterSpec, LoraSpec
-from feddat_tpu.models.adapters import AdapterCell
+from feddat_tpu.models.adapters import AdapterCell, _DenseParams
 from feddat_tpu.ops.attention import dot_product_attention
+
+# torch's default ``kaiming_uniform_(a=sqrt(5))`` (used by loralib for
+# lora_A and by nn.Linear for weights): U(+-1/sqrt(fan_in)).
+_kaiming_a5 = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
 class LoraDense(nn.Module):
@@ -30,8 +34,10 @@ class LoraDense(nn.Module):
 
     Matches loralib's ``lora.Linear(d, d, r=16)`` used by the reference on
     attention query/value projections (``src/modeling/adaptered_output.py:32-33``):
-    ``y = Wx + b + (alpha/r) * B(Ax)``; A is init with he-uniform, B zeros, so
-    the LoRA path starts as identity-zero.
+    ``y = Wx + b + (alpha/r) * B(Ax)``; A is init like loralib's lora_A
+    (``kaiming_uniform_(a=sqrt(5))`` = U(+-1/sqrt(d))), B zeros, so the LoRA
+    path starts as identity-zero.  The reference passes no ``lora_alpha``,
+    so loralib's default 1 applies -> scaling 1/16 (see ``LoraSpec.alpha``).
     """
 
     features: int
@@ -52,7 +58,7 @@ class LoraDense(nn.Module):
             a = nn.Dense(
                 self.lora.rank,
                 use_bias=False,
-                kernel_init=nn.initializers.he_uniform(),
+                kernel_init=_kaiming_a5,
                 dtype=self.dtype,
                 name="lora_a",
             )
@@ -65,26 +71,6 @@ class LoraDense(nn.Module):
             )
             y = y + b(a(x)) * (self.lora.alpha / self.lora.rank)
         return y
-
-
-class _DenseParams(nn.Module):
-    """Declares the params of an ``nn.Dense`` (same names/shapes/inits)
-    WITHOUT computing it, so a parent can fuse several projections into one
-    matmul while the param tree stays byte-identical to the unfused path."""
-
-    features: int
-    use_bias: bool = True
-    kernel_init: nn.initializers.Initializer = nn.initializers.normal(stddev=0.02)
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        kernel = self.param("kernel", self.kernel_init, (in_features, self.features), jnp.float32)
-        bias = (
-            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            if self.use_bias
-            else None
-        )
-        return kernel, bias
 
 
 class _LayerNormParams(nn.Module):
@@ -111,7 +97,7 @@ class _LoraDenseParams(nn.Module):
         la = lb = None
         if self.lora.enabled:
             la, _ = _DenseParams(
-                self.lora.rank, False, nn.initializers.he_uniform(), name="lora_a"
+                self.lora.rank, False, _kaiming_a5, name="lora_a"
             )(in_features)
             lb, _ = _DenseParams(
                 self.features, False, nn.initializers.zeros, name="lora_b"

@@ -15,6 +15,7 @@ untrained — here each stream uses its own module.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from feddat_tpu.configs.core import PromptSpec
@@ -29,14 +30,42 @@ class ReparamPrompt(nn.Module):
 
     @nn.compact
     def __call__(self) -> jnp.ndarray:
-        init = nn.initializers.normal(stddev=0.02)
+        # torch-default inits (the reference applies no init_bert_weights to
+        # the prompt MLP, ``main.py:214-229``): Embedding ~ N(0,1); Linear
+        # weights ~ kaiming_uniform(a=sqrt(5)) = U(+-1/sqrt(fan_in)), biases
+        # ~ U(+-1/sqrt(fan_in)).  BERT-style std=0.02 would start the MLP in
+        # its linear regime with ~50x smaller prompts than the reference.
+        w_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+        def bias_init(fan_in):
+            bound = 1.0 / (fan_in ** 0.5)
+            return lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -bound, bound
+            )
+
         tokens = jnp.arange(self.spec.length)
         x = nn.Embed(
-            self.spec.length, self.hidden_size, embedding_init=init, dtype=self.dtype, name="prompt_embed"
+            self.spec.length,
+            self.hidden_size,
+            embedding_init=nn.initializers.normal(stddev=1.0),
+            dtype=self.dtype,
+            name="prompt_embed",
         )(tokens)
-        x = nn.Dense(self.spec.bottleneck, kernel_init=init, dtype=self.dtype, name="prompt_down")(x)
+        x = nn.Dense(
+            self.spec.bottleneck,
+            kernel_init=w_init,
+            bias_init=bias_init(self.hidden_size),
+            dtype=self.dtype,
+            name="prompt_down",
+        )(x)
         x = jnp.tanh(x)
-        return nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="prompt_up")(x)
+        return nn.Dense(
+            self.hidden_size,
+            kernel_init=w_init,
+            bias_init=bias_init(self.spec.bottleneck),
+            dtype=self.dtype,
+            name="prompt_up",
+        )(x)
 
 
 def splice_after_cls(tokens: jnp.ndarray, mask: jnp.ndarray, prompt: jnp.ndarray):

@@ -52,7 +52,7 @@ class VisionTransformer(nn.Module):
         pos = self.param("pos_embed", nn.initializers.zeros, (1, n + 1, c.vision_width))
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (b, 1, c.vision_width)), x], axis=1)
         x = x + pos.astype(self.dtype)
-        x = nn.Dropout(0.0)(x, deterministic=deterministic)
+        # (timm's pos_drop is rate 0.0 in the reference config — no-op, omitted)
 
         layer_kwargs = dict(
             hidden_size=c.vision_width,
