@@ -228,21 +228,7 @@ class AlbefModel(nn.Module):
     def forward_train_logits(self, batch, adapter_mode="none", deterministic=True):
         """Twin (momentum) forward: shifted logits only
         (``return_logits=True`` path, ``albef_model.py:116-121``)."""
-        q_states = self.encode_question(
-            batch["pixel_values"],
-            batch["question_ids"],
-            batch["question_mask"],
-            adapter_mode,
-            deterministic,
-        )
-        B, A, La = batch["answer_ids"].shape
-        ans_ids = batch["answer_ids"].reshape(B * A, La)
-        ans_mask = batch["answer_mask"].reshape(B * A, La)
-        logits = self.decode_logits(
-            ans_ids, ans_mask, q_states, batch["question_mask"], adapter_mode,
-            deterministic, cross_group=A,
-        )
-        return logits[:, :-1, :]
+        return self.apply_cls(self.encode_train(batch, adapter_mode, deterministic))
 
     # -- eval --------------------------------------------------------------
     def rank_answer(

@@ -21,18 +21,17 @@ import jax
 import jax.numpy as jnp
 
 from feddat_tpu.configs.core import AlbefBertConfig, ViltModelConfig
-from feddat_tpu.models.vilt import (
-    ClassificationHead,
-    MultiChoiceHead,
-    TaskHeadSpec,
-    ViltContinualLearner,
-    ViltEncoder,
-)
+from feddat_tpu.models.vilt import ViltContinualLearner
 from feddat_tpu.models.xbert import XBertModel
 
 
 def _text_bert_config(cfg: ViltModelConfig) -> AlbefBertConfig:
-    """Pure-text BERT (fusion_layer == num_layers -> no cross-attention)."""
+    """Pure-text BERT (fusion_layer == num_layers -> no cross-attention).
+
+    Dropout is bert-base-uncased's 0.1 — NOT ViLT's 0.0: the reference
+    builds this half with ``BertModel.from_pretrained('bert-base-uncased')``
+    (``viltbert.py:509``) and ``torch.no_grad()`` does not disable dropout,
+    so the frozen BERT emits dropout-noised embeddings during training."""
     return AlbefBertConfig(
         vocab_size=cfg.vocab_size,
         hidden_size=cfg.hidden_size,
@@ -40,8 +39,8 @@ def _text_bert_config(cfg: ViltModelConfig) -> AlbefBertConfig:
         num_heads=cfg.num_heads,
         intermediate_size=cfg.intermediate_size,
         max_position_embeddings=max(cfg.max_text_len, 512),
-        hidden_dropout=cfg.hidden_dropout,
-        attention_dropout=cfg.attention_dropout,
+        hidden_dropout=0.1,
+        attention_dropout=0.1,
         layer_norm_eps=cfg.layer_norm_eps,
         fusion_layer=cfg.num_layers,
     )
@@ -52,19 +51,10 @@ class ViltBertContinualLearner(ViltContinualLearner):
     embedding source differs."""
 
     def setup(self):
-        self.encoder = ViltEncoder(self.config, self.dtype, self.attn_impl, name="vilt")
+        ViltContinualLearner.setup(self)  # encoder + task heads (one source of truth)
         self.text_bert = XBertModel(
             _text_bert_config(self.config), dtype=self.dtype, name="text_bert"
         )
-        heads = {}
-        for key, spec in self.task_heads.items():
-            if spec.model_type == "classification":
-                heads[key] = ClassificationHead(
-                    self.config.hidden_size, spec.num_labels, self.dtype, name=f"task_{key}"
-                )
-            else:
-                heads[key] = MultiChoiceHead(self.dtype, name=f"task_{key}")
-        self._heads = heads
 
     def _bert_embeds(self, input_ids, attention_mask, deterministic):
         """Frozen BERT text states (``viltbert.py:115-120``)."""

@@ -100,11 +100,14 @@ class XBertLayer(nn.Module):
         h = residual_block(x, attn, "attention_norm")
 
         if self.has_cross:
+            # No LoRA here: the reference attaches LoRA only to
+            # SELF-attention q/v (``albef.py:120-130`` replaces
+            # ``attention.self.{query,value}``; crossattention untouched).
             mha = MultiHeadAttention(
                 c.hidden_size,
                 c.num_heads,
                 dropout_rate=c.attention_dropout,
-                lora=self.lora,
+                lora=LoraSpec(),
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 logits_dtype=self.logits_dtype,
@@ -289,20 +292,42 @@ class XBertModel(nn.Module):
         )
 
 
+class _TiedDecoderBias(nn.Module):
+    """Bias of the tied vocab projection (param path ``.../decoder/bias``,
+    matching the untied layout so converters/partitioning are unchanged)."""
+
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("bias", nn.initializers.zeros, (self.vocab_size,), jnp.float32)
+
+
 class BertPredictionHead(nn.Module):
-    """transform(dense+gelu+LN) + vocab projection (reference ``BertOnlyMLMHead``)."""
+    """transform(dense+gelu+LN) + TIED vocab projection (reference
+    ``BertOnlyMLMHead``).  The projection kernel is the word-embedding
+    matrix: ``BertLMHeadModel``/``BertForMaskedLM`` call ``init_weights()``
+    which ties ``cls.predictions.decoder.weight`` to
+    ``bert.embeddings.word_embeddings.weight`` (``xbert.py:1197-1202``,
+    HF ``tie_word_embeddings`` default).  Consequence for PEFT parity:
+    torch dedups the shared tensor under the *embeddings* name, so the
+    reference's ``'.cls.' -> trainable`` routing (``main.py:248-250``)
+    trains only the transform + decoder bias — the 23.4M-param vocab kernel
+    stays frozen with the embeddings.  Tying (instead of declaring a second
+    kernel labeled ROLE_HEAD) reproduces exactly that."""
 
     cfg: AlbefBertConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden):
+    def __call__(self, hidden, tied_embedding):
         c = self.cfg
         init = nn.initializers.normal(stddev=c.initializer_range)
         h = nn.Dense(c.hidden_size, kernel_init=init, dtype=self.dtype, name="transform_dense")(hidden)
         h = nn.gelu(h, approximate=False)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="transform_norm")(h)
-        return nn.Dense(c.vocab_size, kernel_init=init, dtype=self.dtype, name="decoder")(h)
+        bias = _TiedDecoderBias(c.vocab_size, name="decoder")()
+        return h @ tied_embedding.astype(self.dtype).T + bias.astype(self.dtype)
 
 
 class XBertLMHead(nn.Module):
@@ -357,8 +382,10 @@ class XBertLMHead(nn.Module):
         )
 
     def cls_logits(self, hidden):
-        """LM prediction head only."""
-        return self.cls(hidden)
+        """LM prediction head only (vocab projection tied to the decoder's
+        own word embeddings, see :class:`BertPredictionHead`)."""
+        tied = self.bert.variables["params"]["embeddings"]["word_embeddings"]["embedding"]
+        return self.cls(hidden, tied)
 
     def __call__(
         self,
@@ -410,9 +437,10 @@ class XBertMaskedLM(nn.Module):
         deterministic: bool = True,
         cross_group: int = 1,
     ):
-        hidden = XBertModel(
+        bert = XBertModel(
             self.cfg, self.adapter, self.lora, self.dtype, self.attn_impl, name="bert"
-        )(
+        )
+        hidden = bert(
             input_ids,
             attention_mask,
             encoder_hidden_states=encoder_hidden_states,
@@ -422,7 +450,8 @@ class XBertMaskedLM(nn.Module):
             deterministic=deterministic,
             cross_group=cross_group,
         )
-        logits = BertPredictionHead(self.cfg, self.dtype, name="cls")(hidden)
+        tied = bert.variables["params"]["embeddings"]["word_embeddings"]["embedding"]
+        logits = BertPredictionHead(self.cfg, self.dtype, name="cls")(hidden, tied)
         if labels is None:
             return logits
         import jax

@@ -241,14 +241,21 @@ def convert_bert_to_xbert(
 
 
 def convert_bert_lm_head(sd: Mapping[str, Any], prefix: str = "cls.predictions") -> Dict[str, Any]:
-    """BERT MLM prediction head -> ``BertPredictionHead`` params."""
-    decoder = _linear(sd, f"{prefix}.decoder")
-    if f"{prefix}.decoder.bias" not in sd and f"{prefix}.bias" in sd:
-        decoder["bias"] = _t(sd[f"{prefix}.bias"])
+    """BERT MLM prediction head -> ``BertPredictionHead`` params.
+
+    The vocab-projection kernel is NOT converted: the flax head ties it to
+    the word embeddings like the reference (``decoder.weight`` in torch
+    checkpoints is the same tensor as ``embeddings.word_embeddings.weight``
+    — HF ``tie_weights``, xbert.py:1197-1202); only the bias is a distinct
+    parameter."""
+    if f"{prefix}.decoder.bias" in sd:
+        bias = _t(sd[f"{prefix}.decoder.bias"])
+    else:
+        bias = _t(sd[f"{prefix}.bias"])
     return {
         "transform_dense": _linear(sd, f"{prefix}.transform.dense"),
         "transform_norm": _layernorm(sd, f"{prefix}.transform.LayerNorm"),
-        "decoder": decoder,
+        "decoder": {"bias": bias},
     }
 
 

@@ -63,13 +63,6 @@ def test_param_tree_is_mode_independent():
         cell.apply({"params": params}, x, mode, method=lambda m, z, mode: m.delta(z, mode))
 
 
-def test_call_applies_residual():
-    cell, params, x = _init(SPEC_SINGLE)
-    out = cell.apply({"params": params}, x, x, "adapter")
-    delta = cell.apply({"params": params}, x, "adapter", method=lambda m, z, mode: m.delta(z, mode))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x + delta), rtol=1e-6)
-
-
 def test_unknown_mode_raises():
     cell, params, x = _init(SPEC_SINGLE)
     with pytest.raises(ValueError):

@@ -112,10 +112,9 @@ def test_albef_surgery_and_load():
     # the encoder's MLM head moved into the decoder (reference surgery moves
     # every non-layer text_encoder key to text_decoder, ``albef.py:224-239``)
     assert "cls" in converted["text_decoder"], "decoder LM head dropped by surgery"
-    np.testing.assert_allclose(
-        converted["text_decoder"]["cls"]["decoder"]["kernel"],
-        sd["text_encoder.cls.predictions.decoder.weight"].T, rtol=1e-6,
-    )
+    # the vocab-projection kernel is TIED to the word embeddings (HF
+    # tie_weights, xbert.py:1197-1202) — only the bias is converted
+    assert "kernel" not in converted["text_decoder"]["cls"]["decoder"]
     np.testing.assert_allclose(
         converted["text_decoder"]["cls"]["decoder"]["bias"],
         sd["text_encoder.cls.predictions.bias"], rtol=1e-6,
@@ -144,9 +143,17 @@ def test_albef_surgery_and_load():
         loaded["text_encoder"]["embeddings"]["word_embeddings"]["embedding"]
     )
     np.testing.assert_allclose(got, sd["text_encoder.bert.embeddings.word_embeddings.weight"], rtol=1e-6)
-    got_cls = np.asarray(loaded["text_decoder"]["cls"]["decoder"]["kernel"])
+    # tied vocab projection: the decoder's word embeddings (copied from the
+    # text encoder by the no-decoder surgery) ARE the LM projection kernel
+    got_dec_embed = np.asarray(
+        loaded["text_decoder"]["bert"]["embeddings"]["word_embeddings"]["embedding"]
+    )
     np.testing.assert_allclose(
-        got_cls, sd["text_encoder.cls.predictions.decoder.weight"].T, rtol=1e-6
+        got_dec_embed, sd["text_encoder.bert.embeddings.word_embeddings.weight"], rtol=1e-6
+    )
+    got_cls_bias = np.asarray(loaded["text_decoder"]["cls"]["decoder"]["bias"])
+    np.testing.assert_allclose(
+        got_cls_bias, sd["text_encoder.cls.predictions.bias"], rtol=1e-6
     )
     # and the model still runs
     loss, _ = model.apply({"params": loaded}, batch, adapter_mode="ensemble", deterministic=True)
