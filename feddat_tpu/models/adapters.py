@@ -139,15 +139,15 @@ class AdapterCell(nn.Module):
             a, b = ensemble_members(self.spec.names)
             w = self.spec.ensemble_weight
             if self.spec.fused and jax.default_backend() == "tpu":
-                # Fused Pallas epilogue computes h + mix directly; return the
-                # delta so callers' residual convention is preserved.
+                # Fused Pallas epilogue returns the ensemble DELTA (mixing
+                # in fp32 on-chip); the residual add stays with the caller.
                 from feddat_tpu.ops.adapter_fused import fused_ensemble_adapter
 
                 pa = tuple(cast(t) for t in weights[a])
                 pb = tuple(cast(t) for t in weights[b])
                 zc = z.astype(self.dtype)
-                fused = fused_ensemble_adapter(zc, pa, pb, float(w), False)
-                return (fused - zc) * self.spec.scaling
+                delta = fused_ensemble_adapter(zc, pa, pb, float(w), False)
+                return delta * self.spec.scaling
             return (w * one(a) + (1.0 - w) * one(b)) * self.spec.scaling
 
         if mode not in weights:

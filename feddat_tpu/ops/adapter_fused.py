@@ -10,6 +10,12 @@ fuses the whole epilogue into one VMEM-resident pass over token blocks (both
 adapters' weights are tiny — d x d/r — and stay on-chip), eliminating the
 intermediate HBM round-trips.  Backward is an XLA recompute VJP (the
 bottleneck activations are cheap to rebuild).
+
+The kernel returns the MIX (the adapter delta) only, NOT ``h + mix``: the
+caller owns the residual convention, and returning ``h + mix`` at bf16
+would force it to recover the delta as ``fused - h`` — a catastrophic
+cancellation (bf16 ULP at residual-stream magnitude |h|~10 is ~0.06,
+the same order as the delta itself).
 """
 
 from __future__ import annotations
@@ -40,7 +46,7 @@ def _kernel(h_ref, wda_ref, bda_ref, wua_ref, bua_ref, wdb_ref, bdb_ref, wub_ref
 
     a = branch(wda_ref, bda_ref, wua_ref, bua_ref)
     b = branch(wdb_ref, bdb_ref, wub_ref, bub_ref)
-    o_ref[:] = (hf + weight * a + (1.0 - weight) * b).astype(o_ref.dtype)
+    o_ref[:] = (weight * a + (1.0 - weight) * b).astype(o_ref.dtype)
 
 
 def _forward(h, params_a, params_b, weight, block_rows=256, interpret=False):
@@ -85,13 +91,14 @@ def _reference(h, params_a, params_b, weight):
     def branch(wd, bd, wu, bu):
         return jnp.maximum(hf @ wd + bd, 0.0) @ wu + bu
 
-    out = hf + weight * branch(wda, bda, wua, bua) + (1.0 - weight) * branch(wdb, bdb, wub, bub)
+    out = weight * branch(wda, bda, wua, bua) + (1.0 - weight) * branch(wdb, bdb, wub, bub)
     return out.astype(h.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_ensemble_adapter(h, params_a, params_b, weight: float = 0.5, interpret: bool = False):
-    """``h + w*adapter_a(h) + (1-w)*adapter_b(h)``.
+    """``w*adapter_a(h) + (1-w)*adapter_b(h)`` — the ensemble DELTA; the
+    caller adds the residual (and applies ``spec.scaling``).
 
     ``params_*`` = (w_down [d, r], b_down [r], w_up [r, d], b_up [d]).
     """

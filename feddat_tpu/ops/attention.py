@@ -95,22 +95,38 @@ def dot_product_attention(
             dropout_rng=dropout_rng, logits_dtype=logits_dtype,
         )
     if impl == "flash":
-        import jax as _jax
-
+        # The Pallas kernels have no prob-dropout; sites with LIVE attention
+        # dropout (viltbert/ALBEF text towers train at rate 0.1) fall back
+        # to XLA — the same per-site fallback policy 'block' uses, so one
+        # --attn_impl flag works across every family (dropout_rate is
+        # already 0.0 at eval, which keeps the kernel on the eval path).
+        if dropout_rate > 0.0:
+            return _xla_attention(
+                q, k, v, bias, scale=scale, dropout_rate=dropout_rate,
+                dropout_rng=dropout_rng, logits_dtype=logits_dtype,
+            )
         from feddat_tpu.ops.flash import flash_attention
 
-        if dropout_rate > 0.0:
-            raise NotImplementedError("flash path does not support attn dropout")
-        interpret = _jax.default_backend() == "cpu"
+        interpret = jax.default_backend() == "cpu"
         return flash_attention(q, k, v, bias, scale, interpret)
     if impl == "fused":
-        import jax as _jax
-
+        # Fast path covers the self-attention + [B,1,1,S]-padding-bias
+        # shape only; cross-attention (ALBEF fusion/decoder), combined
+        # causal+padding biases ([B,1,S,S]) and live dropout fall back to
+        # XLA per site (mirrors 'block').
+        eligible = (
+            dropout_rate == 0.0
+            and k.shape[2] == q.shape[2]
+            and (bias is None or (bias.shape[1] == 1 and bias.shape[2] == 1))
+        )
+        if not eligible:
+            return _xla_attention(
+                q, k, v, bias, scale=scale, dropout_rate=dropout_rate,
+                dropout_rng=dropout_rng, logits_dtype=logits_dtype,
+            )
         from feddat_tpu.ops.fused_attention import fused_short_attention
 
-        if dropout_rate > 0.0:
-            raise NotImplementedError("fused path does not support attn dropout")
-        interpret = _jax.default_backend() == "cpu"
+        interpret = jax.default_backend() == "cpu"
         return fused_short_attention(q, k, v, bias, scale, interpret)
     raise ValueError(f"unknown attention impl {impl!r}")
 

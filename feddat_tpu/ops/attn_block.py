@@ -24,9 +24,12 @@ intermediate in VMEM, removes the transposes entirely (the head split is a
 lane-slice of the [S, H*D] projection output), and turns the region into
 exactly two kernel launches (fwd, bwd) per layer per pass.
 
-Numerics match the XLA path with ``attention_logits_dtype=bfloat16``:
-bf16 dot inputs, fp32 accumulation, fp32 softmax, bf16 probs into the PV
-dot.  No attention dropout (ViLT's default is 0.0).
+Numerics match the XLA path with ``attention_logits_dtype=float32`` (the
+model-config default): bf16 dot inputs, fp32 accumulation, the [SP, SP]
+logits kept in fp32 end to end, fp32 softmax, bf16 probs into the PV dot —
+the kernel never stores logits at bf16 (``models/layers.py`` documents the
+same; the logits live in VMEM, so there is no HBM-traffic reason to).
+No attention dropout (ViLT's default is 0.0).
 
 Shapes: x [B, S, Dm]; weights [Dm, Dm]; bqkv [3, Dm] f32 (stacked q/k/v
 biases); bo [1, Dm] f32; gb [2, Dm] f32 (LN scale/bias) or None; bias
@@ -237,7 +240,7 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
         dx_ref[i] = dx.astype(dx_ref.dtype)
 
 
-def _vmem_params(sp: int, dm: int, block_b: int):
+def _vmem_params(sp: int):
     """Raise Mosaic's scoped-VMEM budget for long-S grids.  The 16 MiB
     default is a compiler soft limit, not the hardware (v5e has 128 MiB of
     VMEM); the S=592 working set (resident weights + double-buffered
@@ -298,7 +301,7 @@ def _fwd_call(x, wq, wk, wv, wo, bqkv, bo, gb, bias, num_heads, scale,
             jax.ShapeDtypeStruct((bp, sp, dm), x.dtype),
             jax.ShapeDtypeStruct((bp, num_heads, sp), jnp.float32),
         ),
-        compiler_params=_vmem_params(sp, dm, block_b),
+        compiler_params=_vmem_params(sp),
         interpret=interpret,
     )(xp, wq, wk, wv, wo, bqkv, bo, gb, brow)
     return out[:b, :s], (xp, brow, ctx, lse)
@@ -397,7 +400,7 @@ def _attn_block_bwd(num_heads, scale, block_b, interpret, ln_eps, res, g):
             pltpu.VMEM((sp, dm), g.dtype),
             pltpu.VMEM((sp, dm), g.dtype),
         ],
-        compiler_params=_vmem_params(sp, dm, block_b),
+        compiler_params=_vmem_params(sp),
         interpret=interpret,
     )(kernel_x, wq, wk, wv, wo, bqkv, gb_arr, brow, ctx, lse, gp)
     if ln_outside:

@@ -27,7 +27,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # batch-of-heads matmul helpers: operands [H, S, D] / [H, S, S]
 _QK = (((2,), (2,)), ((0,), (0,)))  # q [H,Sq,D] x k [H,Sk,D] -> [H,Sq,Sk]

@@ -52,6 +52,89 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_flash_gradients_match_xla_padding_mask_cross_shapes():
+    """Blocked Pallas backward: padding bias + S_q != S_kv, non-block-multiple
+    sizes (exercises NEG_INF kv padding and zero q-row padding in the bwd)."""
+    rng = np.random.RandomState(21)
+    q, k, v = _qkv(rng, b=2, h=3, sq=37, skv=53, d=8)
+    mask = jnp.asarray((rng.rand(2, 53) > 0.3).astype(np.int32))
+    bias = mask_to_bias(mask)
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention(q, k, v, bias, None, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        lambda q, k, v: jnp.sum(dot_product_attention(q, k, v, bias, impl="xla") ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_full_query_bias_fwd_and_grads():
+    """[1, 1, Sq, Skv] causal+padding-style bias (per-query rows) stays
+    compact through the BlockSpec index maps in both directions."""
+    from feddat_tpu.ops.attention import causal_bias
+
+    rng = np.random.RandomState(22)
+    q, k, v = _qkv(rng, b=2, h=2, sq=20, skv=20, d=8)
+    bias = causal_bias(20)  # [1, 1, S, S]
+
+    ref = dot_product_attention(q, k, v, bias, impl="xla")
+    out = flash_attention(q, k, v, bias, None, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention(q, k, v, bias, None, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        lambda q, k, v: jnp.sum(dot_product_attention(q, k, v, bias, impl="xla") ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_impl_falls_back_on_cross_attention_and_2d_bias():
+    """impl='fused' must not crash at ALBEF/xbert sites: cross-attention
+    shapes and [B,1,S,S] (causal+padding) biases route to XLA per site."""
+    from feddat_tpu.ops.attention import causal_bias
+
+    rng = np.random.RandomState(23)
+    # cross-attention: S_q != S_kv
+    q, k, v = _qkv(rng, b=2, h=2, sq=10, skv=24, d=8)
+    ref = dot_product_attention(q, k, v, impl="xla")
+    out = dot_product_attention(q, k, v, impl="fused")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+    # self-attention with a combined causal+padding [B,1,S,S] bias
+    q2, k2, v2 = _qkv(rng, b=2, h=2, sq=12, skv=12, d=8)
+    mask = jnp.asarray((rng.rand(2, 12) > 0.2).astype(np.int32))
+    bias = mask_to_bias(mask) + causal_bias(12)
+    ref2 = dot_product_attention(q2, k2, v2, bias, impl="xla")
+    out2 = dot_product_attention(q2, k2, v2, bias, impl="fused")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-6)
+
+
+def test_kernel_impls_fall_back_on_live_dropout():
+    """Live attention dropout (viltbert/ALBEF text towers train at 0.1)
+    routes 'fused'/'flash' to the XLA path — bitwise-identical to impl='xla'
+    with the same rng (same bernoulli draw)."""
+    rng = np.random.RandomState(24)
+    q, k, v = _qkv(rng, b=1, h=2, sq=12, skv=12, d=8)
+    key = jax.random.PRNGKey(0)
+    ref = dot_product_attention(
+        q, k, v, dropout_rate=0.5, dropout_rng=key, impl="xla"
+    )
+    for impl in ("fused", "flash"):
+        out = dot_product_attention(
+            q, k, v, dropout_rate=0.5, dropout_rng=key, impl=impl
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)
+
+
 def _adapter_params(rng, d=32, r=8):
     return tuple(
         jnp.asarray(x, jnp.float32)
