@@ -134,32 +134,45 @@ def resolve_task_keys(spec: str):
 def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
     """Federated cross-VQA client (the reference's ``VQATrainerCross`` data
     path, ``train_vqa_crossvqa.py:39-230``)."""
+    import logging
+
     from feddat_tpu.data.albef_pipeline import AlbefVQAPipeline
     from feddat_tpu.data.datasets import load_ans2label, load_examples
     from feddat_tpu.data.images import make_backend
     from feddat_tpu.data.pipeline import ViltVQAPipeline
 
+    # every task path roots under --climb_data_dir (the reference joins it
+    # onto the task config's data_dir, ``train_vqa_crossvqa.py:97-98``);
+    # runtime-registered tasks with ABSOLUTE data_dir pass through unchanged
+    data_dir = os.path.join(args.climb_data_dir, spec.data_dir)
     train_split, eval_split = args.splits[0], args.splits[-1]
     examples = load_examples(
-        key, spec.data_dir, train_split, data_root=args.climb_data_dir,
+        key, data_dir, train_split, data_root=args.climb_data_dir,
         tokenizer=tokenizer, shuffle_seed=args.seed,
     )
     eval_examples = None
     if eval_split != train_split:
         try:
             eval_examples = load_examples(
-                key, spec.data_dir, eval_split, data_root=args.climb_data_dir,
+                key, data_dir, eval_split, data_root=args.climb_data_dir,
                 tokenizer=tokenizer,
             )
-        except (FileNotFoundError, OSError):
-            pass  # dev/test fixtures without an eval split: eval on train
+        except (FileNotFoundError, OSError) as e:
+            # dev/test fixtures without an eval split: eval on train — but
+            # never silently (a missing test pickle on a real run would
+            # otherwise inflate 'test' scores with train-split numbers)
+            logging.getLogger("feddat_tpu").warning(
+                "task %s: no %r split found (%s); evaluating on the TRAIN "
+                "split", key, eval_split, e,
+            )
     backend = make_backend(spec.images_source, key, args.climb_data_dir)
     if args.encoder_name.startswith("albef"):
-        ans2label = load_ans2label(key, spec.data_dir, args.climb_data_dir)
+        ans2label = load_ans2label(key, data_dir, args.climb_data_dir)
         answer_list = list(ans2label.keys())[:100]  # vqa_dataset_crossvqa.py:301
         pipe = AlbefVQAPipeline(
             examples, backend, tokenizer, answer_list,
-            batch_size=args.batch_size, seed=args.seed, eval_examples=eval_examples,
+            batch_size=args.batch_size, val_batch_size=args.val_batch_size,
+            seed=args.seed, eval_examples=eval_examples,
             cache_images=args.cache_images, pixels_u8=args.device_normalize,
             **({"image_size": 64, "max_question_len": 12, "max_answer_len": 6}
                if args.smoke else {}),
@@ -168,7 +181,8 @@ def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
         return pipe
     return ViltVQAPipeline(
         examples, backend, tokenizer,
-        num_labels=spec.num_labels, batch_size=args.batch_size, seed=args.seed,
+        num_labels=spec.num_labels, batch_size=args.batch_size,
+        val_batch_size=args.val_batch_size, seed=args.seed,
         eval_examples=eval_examples, cache_images=args.cache_images,
         pixels_u8=args.device_normalize,
         **({"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}),
@@ -181,8 +195,6 @@ def _build_classification_client(args, key, spec, tokenizer):
     halved batch (``train_nlvr2.py:91-92``, ``nlvr2_dataset.py:170``),
     SNLI-VE 2048/256 per class over train/dev (``train_snli_ve.py:99-100``),
     VCR 5%% low-shot 'answer' task (``train_vcr.py:94-95``)."""
-    import os
-
     from feddat_tpu.data.classification_datasets import (
         Nlvr2Pipeline,
         SnliVePipeline,
@@ -197,6 +209,12 @@ def _build_classification_client(args, key, spec, tokenizer):
     from feddat_tpu.data.pipeline import ViltVQAPipeline
 
     data_dir = os.path.join(args.climb_data_dir, spec.data_dir)
+    if (args.cache_images or args.device_normalize) and spec.trainer != "vqa":
+        print(
+            f"[feddat_tpu] --cache_images/--device_normalize are not wired "
+            f"into the {spec.trainer!r} pipeline; task {key!r} uses the "
+            "plain f32 image path", file=sys.stderr,
+        )
     smoke_kw = {"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}
     canvas = smoke_kw.get("canvas", (384, 640))
     max_text_len = smoke_kw.get("max_text_len", 40)
@@ -213,7 +231,10 @@ def _build_classification_client(args, key, spec, tokenizer):
         backend = make_backend(spec.images_source, key, args.climb_data_dir)
         return ViltVQAPipeline(
             ex, backend, tokenizer, num_labels=spec.num_labels,
-            batch_size=args.batch_size, seed=args.seed, eval_examples=ev, **smoke_kw,
+            batch_size=args.batch_size, val_batch_size=args.val_batch_size,
+            seed=args.seed, eval_examples=ev,
+            cache_images=args.cache_images, pixels_u8=args.device_normalize,
+            **smoke_kw,
         )
     if spec.trainer == "nlvr2":
         ex = convert_to_low_shot_per_class(
@@ -224,7 +245,9 @@ def _build_classification_client(args, key, spec, tokenizer):
         )
         return Nlvr2Pipeline(
             ex, tokenizer, max_text_len, canvas,
-            batch_size=max(1, args.batch_size // 2), seed=args.seed, eval_examples=ev,
+            batch_size=max(1, args.batch_size // 2),
+            val_batch_size=max(1, args.val_batch_size // 2),
+            seed=args.seed, eval_examples=ev,
         )
     if spec.trainer == "snli_ve":
         ex = convert_to_low_shot_per_class(
@@ -236,7 +259,8 @@ def _build_classification_client(args, key, spec, tokenizer):
         backend = make_backend(spec.images_source, key, args.climb_data_dir)
         return SnliVePipeline(
             ex, backend, tokenizer, max_text_len, canvas,
-            batch_size=args.batch_size, seed=args.seed, eval_examples=ev,
+            batch_size=args.batch_size, val_batch_size=args.val_batch_size,
+            seed=args.seed, eval_examples=ev,
         )
     if spec.trainer == "vcr":
         from feddat_tpu.data.datasets import convert_to_low_shot as low_shot_pct
@@ -245,6 +269,7 @@ def _build_classification_client(args, key, spec, tokenizer):
         ev = low_shot_pct(load_vcr_examples(data_dir, "val", "qa"), 0.05, seed=1)
         return VcrPipeline(
             ex, tokenizer, max_text_len, canvas, batch_size=args.batch_size,
+            val_batch_size=args.val_batch_size,
             num_choices=spec.num_choices, seed=args.seed,
             image_root=data_dir, eval_examples=ev,
         )
@@ -545,6 +570,13 @@ def main(argv=None) -> int:
         for k in task_keys
         if TASK_CONFIGS[k].trainer != "vqa_cross"
     }
+    # ... and their LR-schedule horizon (``train_nlvr2.py:85-93`` computes
+    # max_steps from the task config's num_epochs, not the CLI flag)
+    epoch_overrides = {
+        k: TASK_CONFIGS[k].num_epochs
+        for k in task_keys
+        if TASK_CONFIGS[k].trainer != "vqa_cross"
+    }
 
     if args.engine == "spmd":
         if args.do_single:
@@ -594,7 +626,7 @@ def main(argv=None) -> int:
             if set(opt_overrides) != set(task_keys) or len({
                 (o.lr, o.weight_decay, o.adam_eps, o.warmup_ratio)
                 for o in opt_overrides.values()
-            }) != 1:
+            }) != 1 or len(set(epoch_overrides.values())) != 1:
                 raise SystemExit(
                     "--engine spmd compiles one optimizer for all clients, but "
                     "the selected tasks carry different per-task optimizer "
@@ -603,7 +635,9 @@ def main(argv=None) -> int:
             import dataclasses as _dc
 
             config = _dc.replace(
-                config, optimizer=next(iter(opt_overrides.values()))
+                config,
+                optimizer=next(iter(opt_overrides.values())),
+                num_epochs=next(iter(epoch_overrides.values())),
             )
         trainer = SPMDFederatedTrainer(
             model, params, list(clients.values()), config, mesh,
@@ -673,6 +707,7 @@ def main(argv=None) -> int:
             aux_forward=first_hooks.aux_forward,
             use_fused_dat=use_fused,
             optimizer_overrides=opt_overrides,
+            num_epochs_overrides=epoch_overrides,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
             tp_mesh=tp_mesh,
         )

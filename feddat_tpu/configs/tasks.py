@@ -38,7 +38,7 @@ def _clove(group: str, letter: str) -> TaskSpec:
     return TaskSpec(
         task_key=f"clove_{group}_{letter}",
         task_name=f"clove_{group}_{letter}",
-        data_dir=f"./data/CLOVE/json/{group}",
+        data_dir=f"CLOVE/json/{group}",
         images_source="vgd",
         splits=("train", "val_small"),
     )
@@ -54,35 +54,35 @@ for _l in "abcde":
 TASK_CONFIGS["vizwiz"] = TaskSpec(
     task_key="vizwiz",
     task_name="vizwiz",
-    data_dir="./data/vizwiz",
+    data_dir="vizwiz",
     images_source="vizwiz",
     splits=("train", "val_small"),
 )
 TASK_CONFIGS["gqa"] = TaskSpec(
     task_key="gqa",
     task_name="gqa",
-    data_dir="./data/GQA",
+    data_dir="GQA",
     images_source="vg",
     splits=("train", "val_small"),
 )
 TASK_CONFIGS["abstract"] = TaskSpec(
     task_key="abstract",
     task_name="abstract",
-    data_dir="./data/vqa_abstract",
+    data_dir="vqa_abstract",
     images_source="abstract_image",
     splits=("train", "val_small"),
 )
 TASK_CONFIGS["toronto"] = TaskSpec(
     task_key="toronto",
     task_name="toronto",
-    data_dir="./data/torontoCOCO",
+    data_dir="torontoCOCO",
     images_source="toronto_image",
     splits=("train", "val"),
 )
 TASK_CONFIGS["art"] = TaskSpec(
     task_key="art",
     task_name="art",
-    data_dir="./data/albef/art",
+    data_dir="albef/art",
     images_source="art_image",
     splits=("train", "val"),
 )
@@ -152,7 +152,13 @@ def resolve_clients(spec) -> Tuple[str, ...]:
         if spec in TASK_CONFIGS:
             return (spec,)
         raise KeyError(f"Unknown client set or task key: {spec!r}")
-    return tuple(spec)
+    keys = tuple(spec)
+    unknown = [k for k in keys if k not in TASK_CONFIGS]
+    if unknown:
+        raise KeyError(
+            f"Unknown task key(s) {unknown!r}; known: {sorted(TASK_CONFIGS)}"
+        )
+    return keys
 
 
 def register_task(spec: TaskSpec, overwrite: bool = False) -> None:

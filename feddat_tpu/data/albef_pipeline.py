@@ -59,6 +59,7 @@ class AlbefVQAPipeline:
         cache_images: bool = False,
         cache_budget_bytes: int = 8 << 30,
         pixels_u8: bool = False,
+        val_batch_size: Optional[int] = None,
     ):
         self.examples = list(examples)
         # separate eval split (reference builds distinct loaders); falls back
@@ -77,6 +78,9 @@ class AlbefVQAPipeline:
         self.max_answers_per_q = max_answers_per_q
         self.gt_pad = gt_pad
         self.batch_size = batch_size
+        # reference --val_batch_size feeds the eval loaders
+        # (``vqa_dataset_crossvqa.py:598``); defaults to batch_size
+        self.val_batch_size = val_batch_size or batch_size
         self.seed = seed
         self.max_ques_words_train = max_ques_words_train
         self.max_ques_words_eval = max_ques_words_eval
@@ -203,7 +207,7 @@ class AlbefVQAPipeline:
             }
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        n, bs = len(self.eval_examples), self.batch_size
+        n, bs = len(self.eval_examples), self.val_batch_size
         for s in range(0, n, bs):
             chunk = self.eval_examples[s : s + bs]
             pad = bs - len(chunk)

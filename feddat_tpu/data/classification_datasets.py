@@ -186,7 +186,7 @@ def convert_to_low_shot_per_class(examples, num_labels: int, shots_per_class: in
 # -- pipelines ---------------------------------------------------------------
 class _BasePipeline:
     def __init__(self, examples, tokenizer, max_text_len, canvas, batch_size, seed=0,
-                 eval_examples=None):
+                 eval_examples=None, val_batch_size=None):
         self.examples = list(examples)
         # separate eval split (reference builds distinct loaders); falls back
         # to the train examples when absent (tests/dev)
@@ -195,6 +195,8 @@ class _BasePipeline:
         self.max_text_len = max_text_len
         self.canvas = canvas
         self.batch_size = batch_size
+        # reference --val_batch_size feeds its eval loaders; default batch_size
+        self.val_batch_size = val_batch_size or batch_size
         self.seed = seed
         self.task_key = None
 
@@ -228,7 +230,7 @@ class _BasePipeline:
             yield self._make(chunk)
 
     def eval_batches(self):
-        n, bs = len(self.eval_examples), self.batch_size
+        n, bs = len(self.eval_examples), self.val_batch_size
         for s in range(0, n, bs):
             chunk = self.eval_examples[s : s + bs]
             pad = bs - len(chunk)
@@ -264,9 +266,9 @@ class Nlvr2Pipeline(_BasePipeline):
 
 class SnliVePipeline(_BasePipeline):
     def __init__(self, examples, backend, tokenizer, max_text_len, canvas, batch_size,
-                 seed=0, eval_examples=None):
+                 seed=0, eval_examples=None, val_batch_size=None):
         super().__init__(examples, tokenizer, max_text_len, canvas, batch_size, seed,
-                         eval_examples=eval_examples)
+                         eval_examples=eval_examples, val_batch_size=val_batch_size)
         self.backend = backend
 
     def _make(self, chunk) -> Dict[str, np.ndarray]:
@@ -286,9 +288,9 @@ class VcrPipeline(_BasePipeline):
     (``vilt.py:312-353``)."""
 
     def __init__(self, examples, tokenizer, max_text_len, canvas, batch_size, num_choices=4,
-                 seed=0, image_root=".", eval_examples=None):
+                 seed=0, image_root=".", eval_examples=None, val_batch_size=None):
         super().__init__(examples, tokenizer, max_text_len, canvas, batch_size, seed,
-                         eval_examples=eval_examples)
+                         eval_examples=eval_examples, val_batch_size=val_batch_size)
         self.num_choices = num_choices
         self.image_root = image_root
 

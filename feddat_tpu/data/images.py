@@ -92,6 +92,24 @@ def process_vilt_image(
     return finalize_vilt_u8(vilt_resized_u8(img, canvas), canvas)
 
 
+def pack_u8_canvas(u8s, canvas: Tuple[int, int]):
+    """Resized uint8 images -> (pixels [B, H, W, 3] u8 on the zero-padded
+    canvas, dims [B, 2] (h, w) rectangle-mask extents).
+
+    The raw-u8 device-normalize batch layout (``--device_normalize``): the
+    model rebuilds the pixel mask on-chip from ``dims``.  One definition
+    shared by the training pipeline and the serving predictors so their
+    pixels stay bit-for-bit identical."""
+    H, W = canvas
+    out = np.zeros((len(u8s), H, W, 3), np.uint8)
+    dims = np.zeros((len(u8s), 2), np.int32)
+    for i, a in enumerate(u8s):
+        h, w = min(a.shape[0], H), min(a.shape[1], W)
+        out[i, :h, :w] = a[:h, :w]
+        dims[i] = (h, w)
+    return out, dims
+
+
 def albef_resized_u8(img: "Image.Image", size: int = 384) -> np.ndarray:
     """Decode-side half of the ALBEF preprocessing (cacheable; see
     ``vilt_resized_u8``): exact bicubic resize to (size, size) uint8."""

@@ -45,6 +45,7 @@ class ViltVQAPipeline:
         cache_images: bool = False,
         cache_budget_bytes: int = 8 << 30,
         pixels_u8: bool = False,
+        val_batch_size: Optional[int] = None,
     ):
         """``pixels_u8``: emit ``pixel_values`` as RAW uint8 (the model
         normalizes on-chip and reproduces the canvas zero-pad via the pixel
@@ -70,6 +71,9 @@ class ViltVQAPipeline:
         self.max_text_len = max_text_len
         self.canvas = canvas
         self.batch_size = batch_size
+        # eval batch size (the reference's --val_batch_size feeds its eval
+        # loaders, ``vqa_dataset_crossvqa.py:598``); defaults to batch_size
+        self.val_batch_size = val_batch_size or batch_size
         self.seed = seed
         self.num_workers = num_workers
         self.pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
@@ -143,14 +147,9 @@ class ViltVQAPipeline:
             # raw u8 canvas + compact [B, 2] (h, w) mask dims: the model
             # rebuilds the rectangle mask on-device (16 bytes vs an int32
             # [H, W] plane per image over the host->device link)
-            H, W = self.canvas
-            out = np.zeros((len(u8s), H, W, 3), np.uint8)
-            dims = np.zeros((len(u8s), 2), np.int32)
-            for i, a in enumerate(u8s):
-                h, w = min(a.shape[0], H), min(a.shape[1], W)
-                out[i, :h, :w] = a[:h, :w]
-                dims[i] = (h, w)
-            return out, dims
+            from feddat_tpu.data.images import pack_u8_canvas
+
+            return pack_u8_canvas(u8s, self.canvas)
         from feddat_tpu.data.images import VILT_MEAN, VILT_STD, finalize_vilt_u8
 
         if self._native_finalize is not None:
@@ -201,7 +200,7 @@ class ViltVQAPipeline:
             yield self._make_batch([self.examples[i] for i in sel])
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        n, bs = len(self.eval_examples), self.batch_size
+        n, bs = len(self.eval_examples), self.val_batch_size
         for s in range(0, n, bs):
             chunk = self.eval_examples[s : s + bs]
             pad = bs - len(chunk)

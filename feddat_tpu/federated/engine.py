@@ -81,6 +81,7 @@ class FederatedTrainer:
         aux_forward: bool = False,
         use_fused_dat: bool = False,
         optimizer_overrides: Optional[Dict[str, OptimizerConfig]] = None,
+        num_epochs_overrides: Optional[Dict[str, int]] = None,
         tp_mesh=None,
     ):
         """``make_forward(model, task_key) -> forward`` and
@@ -128,12 +129,14 @@ class FederatedTrainer:
             forward = make_forward(model, task_key)
             part = Partitioner(params, task_key, self.mode,
                                layers_to_freeze=config.layers_to_freeze)
-            max_steps = data.steps_per_epoch * config.num_epochs
             # Per-task hyperparameters: the reference's non-federated trainers
-            # take lr/wd/eps/warmup from the task config
-            # (``task_configs_fed.py:48-51``, ``train_nlvr2.py:88-97``), while
-            # the federated cross-VQA path uses the CLI ``--lr``
-            # (``train_vqa_crossvqa.py:234``).
+            # take lr/wd/eps/warmup AND the schedule-horizon num_epochs from
+            # the task config (``task_configs_fed.py:48-51``,
+            # ``train_nlvr2.py:85-93``), while the federated cross-VQA path
+            # uses the CLI ``--lr``/``--num_epochs``
+            # (``train_vqa_crossvqa.py:233-238``).
+            n_epochs = (num_epochs_overrides or {}).get(task_key, config.num_epochs)
+            max_steps = data.steps_per_epoch * n_epochs
             opt_cfg = (optimizer_overrides or {}).get(task_key, config.optimizer)
             if self.mode == PEFTMode.DAT:
                 # no buffer donation here: the sequential engine's personal store and

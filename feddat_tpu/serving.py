@@ -79,21 +79,17 @@ class ViltVqaPredictor:
         self._forward = _forward
 
     def _preprocess(self, images, questions) -> Dict[str, np.ndarray]:
-        from feddat_tpu.data.images import vilt_resized_u8
+        from feddat_tpu.data.images import pack_u8_canvas, vilt_resized_u8
 
-        H, W = self.canvas
-        n = len(images)
-        pixels = np.zeros((n, H, W, 3), np.uint8)
-        dims = np.zeros((n, 2), np.int32)
-        for i, img in enumerate(images):
+        u8s = []
+        for img in images:
             if not hasattr(img, "convert"):
                 from PIL import Image
 
                 img = Image.open(img)
-            a = vilt_resized_u8(img, self.canvas)
-            h, w = min(a.shape[0], H), min(a.shape[1], W)
-            pixels[i, :h, :w] = a[:h, :w]
-            dims[i] = (h, w)
+            u8s.append(vilt_resized_u8(img, self.canvas))
+        # same canvas-pack as the training pipeline's --device_normalize path
+        pixels, dims = pack_u8_canvas(u8s, self.canvas)
         ids, mask = self.tokenizer.batch_encode(list(questions), self.max_text_len)
         return {
             "input_ids": ids,
@@ -157,7 +153,9 @@ class AlbefVqaPredictor:
             tokenizer, self.answer_list, max_answer_len
         )
         self._bank = (jnp.asarray(answer_ids), jnp.asarray(answer_mask))
-        k = min(k, len(self.answer_list))
+        # the compiled rerank produces exactly k candidates: predict()'s
+        # top_k is bounded by it (exposed for callers to size requests)
+        self.k = k = min(k, len(self.answer_list))
 
         @partial(jax.jit, static_argnames=("mode",))
         def _rank(p, batch, mode):
@@ -191,8 +189,16 @@ class AlbefVqaPredictor:
     def predict(
         self, images: Sequence[Any], questions: Sequence[str], top_k: int = 5
     ) -> List[List[Tuple[str, float]]]:
-        """-> per example, top-k (answer, rerank probability), descending."""
+        """-> per example, top-k (answer, rerank probability), descending.
+
+        ``top_k`` is capped by the compiled rerank width ``self.k`` (the
+        two-stage protocol scores only k candidates per question)."""
         assert len(images) == len(questions)
+        if top_k > self.k:
+            raise ValueError(
+                f"top_k={top_k} exceeds the compiled rerank width k={self.k}; "
+                "construct the predictor with a larger k"
+            )
         results: List[List[Tuple[str, float]]] = []
         for s in range(0, len(images), self.batch_size):
             batch, n = _pad_batch(

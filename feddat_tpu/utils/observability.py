@@ -48,17 +48,25 @@ def setup_logger(
         logger.setLevel(logging.ERROR)
         return logger
     fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-    if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
+    # dedup by exact type: FileHandler subclasses StreamHandler, so an
+    # isinstance check would let an earlier file-only setup suppress the
+    # console handler forever
+    if not any(type(h) is logging.StreamHandler for h in logger.handlers):
         sh = logging.StreamHandler()
         sh.setFormatter(fmt)
         logger.addHandler(sh)
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
-        fh = logging.FileHandler(
-            os.path.join(log_dir, f"{run_name or 'run'}.log"), "w"
-        )
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        path = os.path.abspath(os.path.join(log_dir, f"{run_name or 'run'}.log"))
+        # re-running setup (notebooks, programmatic main()) must not stack a
+        # second handler on the same file (every record written twice)
+        if not any(
+            isinstance(h, logging.FileHandler) and h.baseFilename == path
+            for h in logger.handlers
+        ):
+            fh = logging.FileHandler(path, "w")
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 
@@ -86,6 +94,11 @@ class MetricsLogger:
                 self._wandb = wandb.init(project=wandb_project, name=wandb_run_name)
             except Exception:
                 self._wandb = None
+        if self._fh:
+            # run boundary: the JSONL appends across relaunches (resume keeps
+            # prior rounds' records); a marker keeps downstream readers from
+            # silently merging two runs' step streams
+            self._emit({"kind": "run_start"})
 
     def _emit(self, record: Dict[str, Any]):
         record = {"ts": time.time(), **record}
