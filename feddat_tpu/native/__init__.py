@@ -30,14 +30,27 @@ _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
+    """Compile to a process-unique temp name, then atomically rename.
+
+    Multiple OS processes (the real-multihost mode) can hit a stale .so at
+    the same instant; two g++ invocations writing the SAME output file would
+    interleave and CDLL would load a corrupt library.  rename() on one
+    filesystem is atomic, so every process ends up loading a complete build.
+    """
+    tmp = f"{_SO}.build.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _SO,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, _SO)
         return None
     except Exception as e:  # toolchain missing / compile error
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return str(e)
 
 
@@ -48,10 +61,18 @@ def _load():
             return _lib
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             err = _build()
-            if err is not None:
+            if err is not None and not os.path.exists(_SO):
                 _build_error = err
                 return None
-        lib = ctypes.CDLL(_SO)
+            # a rebuild failed but an existing .so is on disk (git checkout
+            # does not preserve mtimes, so a shipped prebuilt library can
+            # look "stale" in an image without g++): load it — it matched
+            # the source when it was committed
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:  # corrupt/incompatible binary: degrade, not crash
+            _build_error = str(e)
+            return None
         lib.resize_normalize_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -123,6 +144,15 @@ def finalize_canvas_batch(
     n = len(images)
     H, W = canvas
     images = [np.ascontiguousarray(im, dtype=np.uint8) for im in images]
+    for im in images:
+        # the kernel reads h*w*3 bytes per image: a grayscale/RGBA array
+        # slipping through would be an out-of-bounds read (segfault), not a
+        # Python error — validate here like resize_normalize_batch does
+        if im.ndim != 3 or im.shape[2] != 3:
+            raise ValueError(
+                f"finalize_canvas_batch needs [h, w, 3] uint8 images; got "
+                f"shape {im.shape}"
+            )
     ptrs = (ctypes.c_void_p * n)(*[im.ctypes.data for im in images])
     hw = np.asarray([[im.shape[0], im.shape[1]] for im in images], np.int64)
     out = np.empty((n, H, W, 3), np.float32)

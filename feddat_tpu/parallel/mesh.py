@@ -60,22 +60,29 @@ def initialize_multihost(
     coordinator/process arguments cover bare-metal launches.  Returns the
     process count.
 
-    Failure policy: with EXPLICIT arguments a failed init propagates — a
-    mistyped coordinator/process count silently degrading to single-process
-    would train disconnected copies with no cross-host FedAvg.  With no
-    arguments, already-initialized and no-cluster-detected are both benign
-    (single-host runs).
+    Failure policy: every caller reached this through an explicit
+    ``--multihost``, so a failed init must PROPAGATE — swallowing it would
+    silently degrade the run to disconnected per-host copies with no
+    cross-host FedAvg (each host training and "averaging" alone).  The only
+    benign failure is double-initialization (e.g. a test harness already
+    brought the cluster up): detected by message and passed through.
     """
-    explicit = any(a is not None for a in (coordinator_address, num_processes, process_id))
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        if explicit:
-            raise
+    except (RuntimeError, ValueError) as e:
+        if "already" in str(e).lower():  # initialized by an outer harness
+            return jax.process_count()
+        raise RuntimeError(
+            "jax.distributed.initialize failed under --multihost; refusing "
+            "to fall back to single-process (disconnected per-host training "
+            "with no cross-host FedAvg).  On bare metal pass "
+            "--coordinator_address/--num_processes/--process_id; on TPU "
+            f"pods/GKE check the cluster environment.  Cause: {e}"
+        ) from e
     return jax.process_count()
 
 

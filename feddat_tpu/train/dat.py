@@ -89,11 +89,16 @@ class Partitioner:
         # ViLT heads are per-task modules (only the active task's head may be
         # touched by this client's optimizer); ALBEF's single LM prediction
         # head (``.cls.``) is the personal head for every client
-        # (reference ``main.py:127-130``).
+        # (reference ``main.py:127-130``).  Component-EXACT matching: a
+        # substring test would let a task key that prefixes another key
+        # (e.g. 'vqa' vs 'vqa_rad') pull the other task's head into this
+        # client's optimizer, where decoupled weight decay shrinks it every
+        # step despite zero gradients.
         self.head_paths = frozenset(
             p
             for p, l in flat_labels.items()
-            if l == ROLE_HEAD and (head_tag in joined(p) or "cls" in joined(p).split("/"))
+            if l == ROLE_HEAD
+            and (head_tag in joined(p).split("/") or "cls" in joined(p).split("/"))
         )
         if mode == PEFTMode.DAT:
             self.shared_paths = frozenset(p for p, l in flat_labels.items() if l == ROLE_SHARED)
@@ -616,28 +621,24 @@ def plain_step_core(
         (loss, (_, new_aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
         grads = maybe_pmean(grads)
         if P.grad_mask:
-            from flax import traverse_util as _tu
-
-            gflat = dict(_tu.flatten_dict(grads))
+            gflat = dict(traverse_util.flatten_dict(grads))
             for p, m in P.grad_mask.items():
                 if p in gflat:
                     gflat[p] = gflat[p] * m.astype(gflat[p].dtype)
-            grads = _tu.unflatten_dict(gflat)
+            grads = traverse_util.unflatten_dict(gflat)
         lr = lr_at(state.sched_count, batch)
         new_trainable, opt_state = apply_direction(
             tx, grads, state.opt_states["trainable"], trainable, lr
         )
         if P.grad_mask:
             # weight decay must not move frozen layers either: blend back
-            from flax import traverse_util as _tu
-
-            nflat = dict(_tu.flatten_dict(new_trainable))
-            oflat = _tu.flatten_dict(trainable)
+            nflat = dict(traverse_util.flatten_dict(new_trainable))
+            oflat = traverse_util.flatten_dict(trainable)
             for p, m in P.grad_mask.items():
                 if p in nflat:
                     mm = m.astype(nflat[p].dtype)
                     nflat[p] = nflat[p] * mm + oflat[p] * (1 - mm)
-            new_trainable = _tu.unflatten_dict(nflat)
+            new_trainable = traverse_util.unflatten_dict(nflat)
         params = P.merge_into(params, new_trainable)
         new_state = TrainState(
             params=params,

@@ -42,12 +42,17 @@ def save_federated_state(
 
 
 def latest_round(directory: str) -> Optional[int]:
+    """Largest N with a ``round_NNNNN`` entry.  Strict name match: stray
+    entries like ``round_00012_old`` (manual backups, tool artifacts) must
+    not make resume target a checkpoint path that does not exist."""
+    import re
+
     if not os.path.isdir(directory):
         return None
     rounds = [
-        int(d.split("_")[1])
+        int(m.group(1))
         for d in os.listdir(directory)
-        if d.startswith("round_") and d.split("_")[1].isdigit()
+        if (m := re.fullmatch(r"round_(\d{5})", d))
     ]
     return max(rounds) if rounds else None
 

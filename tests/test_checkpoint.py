@@ -85,9 +85,9 @@ def test_metrics_logger_jsonl(tmp_path):
     m.close()
     records = [json.loads(l) for l in open(path)]
     kinds = [r["kind"] for r in records]
-    assert kinds == ["step", "round"]
-    assert records[0]["samples_per_sec"] > 0
-    assert records[0]["loss"] == 0.5
+    assert kinds == ["run_start", "step", "round"]
+    assert records[1]["samples_per_sec"] > 0
+    assert records[1]["loss"] == 0.5
 
 
 def test_experiment_name_encodes_config():

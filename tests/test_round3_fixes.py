@@ -212,3 +212,64 @@ def test_engine_per_task_num_epochs_override():
     lr_d, lr_o = second_lr(tr_default), second_lr(tr_override)
     assert lr_d != lr_o
     assert lr_d > lr_o  # shorter horizon decays faster
+
+
+def test_partitioner_head_match_is_component_exact():
+    """A task key that prefixes another key must not pull the other task's
+    head into this client's optimizer (weight decay would shrink it every
+    step despite zero gradients)."""
+    import jax
+
+    from conftest import TINY_VILT, tiny_batch
+    from feddat_tpu.configs.core import PEFTMode
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+    from feddat_tpu.train.dat import Partitioner
+
+    model = ViltContinualLearner(
+        TINY_VILT,
+        {"vqa": TaskHeadSpec(num_labels=16), "vqa_rad": TaskHeadSpec(num_labels=16)},
+    )
+    params = init_vilt_params(model, jax.random.PRNGKey(0),
+                              tiny_batch(np.random.RandomState(0), 2))
+    part = Partitioner(params, "vqa", PEFTMode.DAT)
+    joined = ["/".join(str(s) for s in p) for p in part.head_paths]
+    assert any("task_vqa/" in j or j.startswith("task_vqa/") for j in joined)
+    assert not any("task_vqa_rad" in j for j in joined), joined
+
+
+def test_latest_round_ignores_stray_entries(tmp_path):
+    from feddat_tpu.utils.checkpointing import latest_round
+
+    (tmp_path / "round_00003").mkdir()
+    (tmp_path / "round_00012_old").mkdir()
+    (tmp_path / "round_7").mkdir()
+    assert latest_round(str(tmp_path)) == 3
+
+
+def test_finalize_canvas_batch_rejects_non_rgb():
+    from feddat_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    gray = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match=r"\[h, w, 3\]"):
+        native.finalize_canvas_batch([gray], (16, 16), [0.5] * 3, [0.5] * 3)
+
+
+def test_initialize_multihost_failure_propagates(monkeypatch):
+    import jax
+
+    from feddat_tpu.parallel import mesh as mesh_mod
+
+    def boom(**kw):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="refusing"):
+        mesh_mod.initialize_multihost()
+
+    def already(**kw):
+        raise RuntimeError("jax.distributed.initialize was already called")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    assert mesh_mod.initialize_multihost() == jax.process_count()
