@@ -21,12 +21,10 @@ the same order as the delta itself).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(h_ref, wda_ref, bda_ref, wua_ref, bua_ref, wdb_ref, bdb_ref, wub_ref, bub_ref, o_ref, *, weight: float):

@@ -13,7 +13,6 @@ blockwise/long-context variants slot in later.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -112,12 +111,23 @@ def dot_product_attention(
     if impl == "fused":
         # Fast path covers the self-attention + [B,1,1,S]-padding-bias
         # shape only; cross-attention (ALBEF fusion/decoder), combined
-        # causal+padding biases ([B,1,S,S]) and live dropout fall back to
-        # XLA per site (mirrors 'block').
+        # causal+padding biases ([B,1,S,S]), broadcast-batch biases and
+        # live dropout fall back to XLA per site (mirrors 'block').  The
+        # whole-S kernel holds all-heads [H, S, S] fp32 logit tiles in VMEM
+        # (the backward keeps ~4 alive): past the default 16 MiB scoped-VMEM
+        # budget it does not compile (measured at ALBEF's S=577, PERF.md),
+        # so oversize grids route to XLA instead of failing deep inside jit.
+        H, S = q.shape[1], q.shape[2]
+        vmem_est = 4 * H * S * S * 4  # bytes: ~4 live fp32 [H,S,S] tiles
         eligible = (
             dropout_rate == 0.0
             and k.shape[2] == q.shape[2]
-            and (bias is None or (bias.shape[1] == 1 and bias.shape[2] == 1))
+            and vmem_est <= 16 * 1024 * 1024
+            and (
+                bias is None
+                or (bias.shape[0] == q.shape[0]
+                    and bias.shape[1] == 1 and bias.shape[2] == 1)
+            )
         )
         if not eligible:
             return _xla_attention(

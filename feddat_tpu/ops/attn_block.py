@@ -262,6 +262,8 @@ def _prep(x, bias, block_b: int):
         assert bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1, (
             "attn_block expects a [B, 1, 1, S] padding bias"
         )
+        if bias.shape[0] == 1 and b > 1:  # batch-broadcast bias: expand
+            bias = jnp.broadcast_to(bias, (b,) + bias.shape[1:])
         brow = bias.astype(jnp.float32).reshape(b, 1, s)
     if sp != s:
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))

@@ -93,6 +93,8 @@ def _bias_rows(bias, b, skv):
     assert bias.shape[1] == 1 and bias.shape[2] == 1, (
         "fused path expects a [B, 1, 1, S] padding bias"
     )
+    if bias.shape[0] == 1 and b > 1:  # batch-broadcast bias: expand, not crash
+        bias = jnp.broadcast_to(bias, (b,) + bias.shape[1:])
     return bias.astype(jnp.float32).reshape(b, 1, skv)
 
 

@@ -406,6 +406,7 @@ def dat_step_core_joint(
     max_steps: int,
     adapter_names: Tuple[str, ...] = ("adapter_0", "adapter_1", "adapter_2"),
     ensemble_weight: float = 0.5,
+    adapter_scaling: float = 1.0,
     data_axis: str | None = None,
 ):
     """DAT step as ONE mega-batched encoder forward + ONE shared backward.
@@ -430,15 +431,24 @@ def dat_step_core_joint(
     launches are halved.  Exact when encoder dropout is off (ViLT default),
     like the fused step.
 
-    ``adapter_names`` / ``ensemble_weight`` MUST match the model's
-    ``AdapterSpec`` (names order and ``ensemble_weight``) — pass them from
-    the spec when it deviates from the DAT defaults, or the step silently
-    trains a different ensemble mix than eval uses.  ``spec.scaling`` must
-    be 1.0 (the reference constant, ``adapter.py:26``): MODE_WEIGHTED
-    applies scaling to every row, while the standard step's single-adapter
-    pass (reference parity) does not, so the stage-② rows would diverge
-    under any other value.
+    ``adapter_names`` / ``ensemble_weight`` / ``adapter_scaling`` MUST match
+    the model's ``AdapterSpec`` — pass them from the spec when it deviates
+    from the DAT defaults, or the step silently trains a different ensemble
+    mix than eval uses.  ``adapter_scaling`` must be 1.0 (the reference
+    constant, ``adapter.py:26``): MODE_WEIGHTED applies scaling to every
+    row, while the standard step's single-adapter pass (reference parity,
+    ``adapter.py:124-130``) does not, so the stage-② rows would diverge
+    under any other value — enforced here rather than documented away.
     """
+    if adapter_scaling != 1.0:
+        raise ValueError(
+            f"the joint DAT step requires AdapterSpec.scaling == 1.0 (got "
+            f"{adapter_scaling}): its stage-② rows run through MODE_WEIGHTED "
+            "(which scales, reference adapter.py:144,161) while the standard "
+            "step's adapter_1 pass does not (adapter.py:124-130) — any other "
+            "value breaks joint==standard equivalence.  Use the standard or "
+            "fused step."
+        )
     tx = adamw_direction(opt_cfg)
     lr_at = _make_lr_at(opt_cfg, max_steps)
     P = partitioner
@@ -544,12 +554,13 @@ def make_dat_train_step_joint(
     max_steps: int,
     adapter_names: Tuple[str, ...] = ("adapter_0", "adapter_1", "adapter_2"),
     ensemble_weight: float = 0.5,
+    adapter_scaling: float = 1.0,
     donate: bool = True,
 ):
     """Jitted wrapper around :func:`dat_step_core_joint` (see its docstring)."""
     step = dat_step_core_joint(
         encode_fn, head_fn, task_loss_fn, partitioner, opt_cfg, max_steps,
-        adapter_names, ensemble_weight,
+        adapter_names, ensemble_weight, adapter_scaling,
     )
     if donate:
         return jax.jit(step, donate_argnums=(0,))

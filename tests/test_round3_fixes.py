@@ -273,3 +273,46 @@ def test_initialize_multihost_failure_propagates(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", already)
     assert mesh_mod.initialize_multihost() == jax.process_count()
+
+
+def test_joint_step_rejects_nonunit_adapter_scaling():
+    from feddat_tpu.train.dat import dat_step_core_joint
+
+    with pytest.raises(ValueError, match="scaling == 1.0"):
+        dat_step_core_joint(
+            None, None, None, None, None, 10, adapter_scaling=0.5
+        )
+
+
+def test_fused_attention_oversize_routes_to_xla():
+    """'fused' holds all-heads [H,S,S] fp32 tiles in VMEM; grids past the
+    16 MiB scoped budget (ALBEF's S=577, PERF.md) must fall back to XLA
+    instead of failing to compile deep inside jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from feddat_tpu.ops.attention import dot_product_attention, mask_to_bias
+
+    rng = np.random.RandomState(0)
+    B, H, S, D = 1, 12, 320, 16  # 4*12*320^2*4 B ~ 19.7 MiB > 16 MiB
+    q = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    bias = mask_to_bias(jnp.ones((B, S)))
+    out_fused = dot_product_attention(q, k, v, bias, impl="fused")
+    out_xla = dot_product_attention(q, k, v, bias, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla), rtol=1e-6)
+
+
+def test_attn_block_prep_broadcast_batch_bias():
+    """A batch-broadcast [1,1,1,S] bias expands instead of crashing the
+    kernel-entry reshape."""
+    import jax.numpy as jnp
+
+    from feddat_tpu.ops.attn_block import _prep
+
+    x = jnp.zeros((2, 8, 4), jnp.float32)
+    bias = jnp.zeros((1, 1, 1, 8), jnp.float32)
+    out = _prep(x, bias, 1)
+    # _prep returns (x_padded, brow, ...); the bias row must carry B=2
+    assert out[1].shape[0] == 2
