@@ -62,3 +62,20 @@ def format_table(table: Dict[str, Dict[str, float]]) -> str:
     for task, row in table.items():
         lines.append(f"{task:<24} {row['mean']:>8.2f} {row['std']:>8.2f} {row['n']:>5}")
     return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    """``python -m feddat_tpu.utils.results run1.history.json run2...`` —
+    the reference's standalone tabulator (``make_table.py``) as a command:
+    merge per-seed history JSONs into one mean±std table."""
+    import argparse
+
+    p = argparse.ArgumentParser("feddat_tpu.results")
+    p.add_argument("histories", nargs="+", help="*.history.json files (one per run/seed)")
+    args = p.parse_args(argv)
+    print(format_table(mean_std_table(load_histories(args.histories))))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
