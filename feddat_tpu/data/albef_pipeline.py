@@ -207,17 +207,14 @@ class AlbefVQAPipeline:
             }
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        n, bs = len(self.eval_examples), self.val_batch_size
-        for s in range(0, n, bs):
-            chunk = self.eval_examples[s : s + bs]
-            pad = bs - len(chunk)
-            valid = np.concatenate([np.ones(len(chunk)), np.zeros(pad)]).astype(np.float32)
-            chunk = chunk + [self.eval_examples[0]] * pad
+        from feddat_tpu.data.pipeline import iter_eval_chunks
+
+        for chunk, valid in iter_eval_chunks(self.eval_examples, self.val_batch_size):
             q_ids, q_mask = self.tokenizer.batch_encode(
                 [pre_question(e.question, self.max_ques_words_eval) for e in chunk],
                 self.max_question_len,
             )
-            gts = np.full((bs, self.gt_pad), -1, np.int64)
+            gts = np.full((len(chunk), self.gt_pad), -1, np.int64)
             for i, ex in enumerate(chunk):
                 labels = ex.labels[: self.gt_pad]
                 gts[i, : len(labels)] = labels

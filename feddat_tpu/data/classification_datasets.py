@@ -230,12 +230,9 @@ class _BasePipeline:
             yield self._make(chunk)
 
     def eval_batches(self):
-        n, bs = len(self.eval_examples), self.val_batch_size
-        for s in range(0, n, bs):
-            chunk = self.eval_examples[s : s + bs]
-            pad = bs - len(chunk)
-            valid = np.concatenate([np.ones(len(chunk)), np.zeros(pad)]).astype(np.float32)
-            chunk = chunk + [self.eval_examples[0]] * pad
+        from feddat_tpu.data.pipeline import iter_eval_chunks
+
+        for chunk, valid in iter_eval_chunks(self.eval_examples, self.val_batch_size):
             batch = self._make(chunk)
             batch["valid"] = valid
             yield batch

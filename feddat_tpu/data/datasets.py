@@ -142,6 +142,7 @@ def build_examples_from_json(
 
     uniform = any(t in task_key for t in UNIFORM_SCORE_TASKS)
     examples: List[VQAExample] = []
+    missing_q = 0
     for anno in annotations:
         qid = anno["question_id"]
         fname = anno["image"].split("/")[-1]
@@ -149,7 +150,15 @@ def build_examples_from_json(
         # backend keys on the extensionless stem (reference live parse,
         # ``vqa_dataset_crossvqa.py:194``)
         image_id = fname if "vizwiz" in task_key else fname.split(".")[0]
-        qdata = qid2qdata[qid]
+        # annotations can outnumber the split's questions (abstract pairs a
+        # PER-SPLIT questions file with the full val2015 annotations file,
+        # ``raw_json_paths``): skip those instead of the reference's
+        # unguarded KeyError (``vqa_dataset_crossvqa.py:199``) — a
+        # deliberate robustness deviation, counted and reported below
+        qdata = qid2qdata.get(qid)
+        if qdata is None:
+            missing_q += 1
+            continue
         question = qdata["question"]
         input_ids: List[int] = []
         if tokenizer is not None:
@@ -178,6 +187,13 @@ def build_examples_from_json(
                 answers=answers,
                 question_input_ids=input_ids,
             )
+        )
+    if missing_q:
+        import logging
+
+        logging.getLogger("feddat_tpu").warning(
+            "%s/%s: %d annotations had no question in this split's "
+            "questions file (skipped)", task_key, questions_file, missing_q,
         )
     return examples
 

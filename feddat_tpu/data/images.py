@@ -131,11 +131,23 @@ class ImageBackend:
     def load(self, image_id) -> "Image.Image":
         """Decode; on failure return a black image (the reference's only
         fault tolerance, ``src/utils/image_utils.py:56-60`` — a corrupt file
-        must not kill a federated round)."""
+        must not kill a federated round).  Falls back LOUDLY: a misrooted
+        image dir would otherwise train a whole run on black pixels with
+        zero diagnostics, so the first miss (and every 1000th) is logged."""
         try:
             p = self.path_for(image_id)
             return Image.open(p).convert("RGB")
-        except Exception:
+        except Exception as e:
+            n = getattr(self, "_black_fallbacks", 0) + 1
+            self._black_fallbacks = n
+            if n == 1 or n % 1000 == 0:
+                import logging
+
+                logging.getLogger("feddat_tpu").warning(
+                    "image %r failed to load (%s); substituting a black "
+                    "image (%d so far) — check the image roots if this is "
+                    "not a rare corrupt file", image_id, e, n,
+                )
             return Image.new("RGB", (384, 384))
 
 
@@ -166,6 +178,16 @@ class DirectoryScanBackend(ImageBackend):
                 if image_id is None:
                     continue
                 self.imageid2filename[image_id] = os.path.join(d, fn)
+        if not self.imageid2filename:
+            # every lookup would fall back to a black image — say so ONCE up
+            # front instead of letting a misrooted --climb_data_dir train a
+            # whole run on black pixels silently
+            import logging
+
+            logging.getLogger("feddat_tpu").warning(
+                "image backend for %r scanned %s and found NO images; every "
+                "sample will fall back to a black image", task_key, list(dirs),
+            )
 
     def _parse_id(self, fn: str):
         stem = os.path.splitext(fn)[0]

@@ -22,6 +22,21 @@ from feddat_tpu.data.images import process_vilt_image
 from feddat_tpu.data.vqa_scoring import target_tensor
 
 
+def iter_eval_chunks(examples: Sequence[Any], batch_size: int):
+    """Yield ``(chunk, valid)`` fixed-size eval chunks: the final short
+    chunk is padded by repeating element 0 with a zero ``valid`` mask (the
+    masked-sum eval counts exactly ``len(examples)``; SURVEY §7.3
+    'eval-count exactness').  One definition for every pipeline family."""
+    n = len(examples)
+    for s in range(0, n, batch_size):
+        chunk = list(examples[s : s + batch_size])
+        pad = batch_size - len(chunk)
+        valid = np.concatenate([np.ones(len(chunk)), np.zeros(pad)]).astype(np.float32)
+        if pad:
+            chunk = chunk + [examples[0]] * pad
+        yield chunk, valid
+
+
 class ViltVQAPipeline:
     """Produces ViLT train/eval batches from (examples, image backend).
 
@@ -200,12 +215,7 @@ class ViltVQAPipeline:
             yield self._make_batch([self.examples[i] for i in sel])
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        n, bs = len(self.eval_examples), self.val_batch_size
-        for s in range(0, n, bs):
-            chunk = self.eval_examples[s : s + bs]
-            pad = bs - len(chunk)
-            valid = np.concatenate([np.ones(len(chunk)), np.zeros(pad)]).astype(np.float32)
-            chunk = chunk + [self.eval_examples[0]] * pad
+        for chunk, valid in iter_eval_chunks(self.eval_examples, self.val_batch_size):
             yield self._make_batch(chunk, valid)
 
 

@@ -242,20 +242,11 @@ class FederatedTrainer:
 
     @staticmethod
     def _default_vilt_forward(model, task_key):
-        from feddat_tpu.train.losses import bce_with_logits_vqa
+        # one definition shared by both engines (their numerical-equivalence
+        # contract rides on it): train/forwards.py::make_vilt_forward
+        from feddat_tpu.train.forwards import make_vilt_forward
 
-        def forward(p, batch, mode, dropout_rng):
-            _, logits = model.apply(
-                {"params": p},
-                task_key,
-                batch,
-                adapter_mode=mode,
-                deterministic=False,
-                rngs={"dropout": dropout_rng},
-            )
-            return bce_with_logits_vqa(logits, batch["target_scores"]), logits
-
-        return forward
+        return make_vilt_forward(model, task_key, loss="vqa")
 
     # -- internals ---------------------------------------------------------
     def _client_params(self, client: ClientRuntime, refresh: bool = True) -> Dict[str, Any]:
@@ -392,11 +383,16 @@ class FederatedTrainer:
         each task trains ``comm_rounds`` times sequentially on its own model
         (no aggregation, personal state carried between repeats), then evals."""
         init_server = self.server_params
+        init_personal, _ = split_by_roles(init_server, self.labels, self._personal_roles)
         results = {}
         for client in self.clients:
             # the reference rebuilds the model per task to reset state
             # (``main.py:427-436``): each task starts from the initial params
+            # — the PERSONAL store too, or a preceding run()/resume on this
+            # trainer would leak federated-trained adapters/heads into the
+            # "centralized baseline"
             self.server_params = init_server
+            self.personal[client.task_key] = init_personal
             for r in range(self.config.federated.comm_rounds):
                 trained = self.train_client(client, r)
                 personal, _ = split_by_roles(trained, self.labels, self._personal_roles)

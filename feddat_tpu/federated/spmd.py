@@ -495,20 +495,11 @@ class SPMDFederatedTrainer:
 
     @staticmethod
     def _default_vilt_forward(model, task_key):
-        from feddat_tpu.train.losses import bce_with_logits_vqa
+        # one definition shared by both engines (their numerical-equivalence
+        # contract rides on it): train/forwards.py::make_vilt_forward
+        from feddat_tpu.train.forwards import make_vilt_forward
 
-        def forward(p, batch, mode, dropout_rng):
-            _, logits = model.apply(
-                {"params": p},
-                task_key,
-                batch,
-                adapter_mode=mode,
-                deterministic=False,
-                rngs={"dropout": dropout_rng},
-            )
-            return bce_with_logits_vqa(logits, batch["target_scores"]), logits
-
-        return forward
+        return make_vilt_forward(model, task_key, loss="vqa")
 
     # -- global-array placement (single- and multi-process) ----------------
     def _put_global(self, x, spec):
@@ -756,34 +747,38 @@ class SPMDFederatedTrainer:
         n_steps = max(client_eval_steps(c) for c in self.clients)
         if dbg:
             n_steps = min(n_steps, dbg + 1)
-        for mode, fn in self._eval_steps.items():
-            its = [self.clients[i].eval_batches() for i in self.local_slots]
-            template = None
-            for _ in range(n_steps):
-                batches = []
-                for it in its:
-                    try:
-                        b = next(it)
-                        template = template or b
-                    except StopIteration:
-                        b = None
-                    batches.append(b)
-                if template is None:
-                    raise ValueError(
-                        "every process must host at least one client with "
-                        "eval examples (needed to build padding batches)"
-                    )
-                # heterogeneous eval sizes: exhausted clients contribute
-                # all-invalid padding batches (valid mask zero)
-                for i, b in enumerate(batches):
-                    if b is None:
-                        pad = {k: np.zeros_like(v) for k, v in template.items()}
-                        pad["valid"] = np.zeros_like(template["valid"])
-                        batches[i] = pad
-                stacked = {
-                    k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
-                }
-                gbatch = self._put_local_batch(stacked)
+        # one pass over the data: each staged batch (one host build + one
+        # H2D transfer) is evaluated under EVERY adapter mode — the per-mode
+        # outer loop used to decode/tokenize/transfer the eval split 3x
+        # under DAT
+        its = [self.clients[i].eval_batches() for i in self.local_slots]
+        template = None
+        for _ in range(n_steps):
+            batches = []
+            for it in its:
+                try:
+                    b = next(it)
+                    template = template or b
+                except StopIteration:
+                    b = None
+                batches.append(b)
+            if template is None:
+                raise ValueError(
+                    "every process must host at least one client with "
+                    "eval examples (needed to build padding batches)"
+                )
+            # heterogeneous eval sizes: exhausted clients contribute
+            # all-invalid padding batches (valid mask zero)
+            for i, b in enumerate(batches):
+                if b is None:
+                    pad = {k: np.zeros_like(v) for k, v in template.items()}
+                    pad["valid"] = np.zeros_like(template["valid"])
+                    batches[i] = pad
+            stacked = {
+                k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
+            }
+            gbatch = self._put_local_batch(stacked)
+            for mode, fn in self._eval_steps.items():
                 if self._banks is not None:
                     out = fn(self.backbone, self.client_state, *self._banks, gbatch)
                 else:

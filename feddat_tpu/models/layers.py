@@ -187,6 +187,10 @@ class MultiHeadAttention(nn.Module):
             # ViT, S=577) the doubled VMEM working set stalls the Mosaic
             # compiler — drop to 1.
             block_b = 2 if x.shape[1] <= 288 else 1
+            import os as _os
+
+            if _os.environ.get("FEDDAT_BLOCK_B"):  # perf-sweep override
+                block_b = int(_os.environ["FEDDAT_BLOCK_B"])
             out = attn_block(
                 x.astype(self.dtype),
                 wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype),

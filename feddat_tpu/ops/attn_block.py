@@ -240,13 +240,15 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
         dx_ref[i] = dx.astype(dx_ref.dtype)
 
 
-def _vmem_params(sp: int):
-    """Raise Mosaic's scoped-VMEM budget for long-S grids.  The 16 MiB
-    default is a compiler soft limit, not the hardware (v5e has 128 MiB of
-    VMEM); the S=592 working set (resident weights + double-buffered
-    windows + per-head f32 tiles) measures 16.2-18.3 MB — give those grids
-    a 64 MiB ceiling and leave short-S kernels on the default."""
-    if sp <= 448:
+def _vmem_params(sp: int, block_b: int = 1):
+    """Raise Mosaic's scoped-VMEM budget for long-S or wide-block grids.
+    The 16 MiB default is a compiler soft limit, not the hardware (v5e has
+    128 MiB of VMEM); the S=592 working set (resident weights +
+    double-buffered windows + per-head f32 tiles) measures 16.2-18.3 MB —
+    give those grids (and block_b>2 sweeps, whose tiles scale with the
+    block) a 64 MiB ceiling and leave the standard short-S kernels on the
+    default."""
+    if sp <= 448 and block_b <= 2:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
@@ -303,7 +305,7 @@ def _fwd_call(x, wq, wk, wv, wo, bqkv, bo, gb, bias, num_heads, scale,
             jax.ShapeDtypeStruct((bp, sp, dm), x.dtype),
             jax.ShapeDtypeStruct((bp, num_heads, sp), jnp.float32),
         ),
-        compiler_params=_vmem_params(sp),
+        compiler_params=_vmem_params(sp, block_b),
         interpret=interpret,
     )(xp, wq, wk, wv, wo, bqkv, bo, gb, brow)
     return out[:b, :s], (xp, brow, ctx, lse)
@@ -402,7 +404,7 @@ def _attn_block_bwd(num_heads, scale, block_b, interpret, ln_eps, res, g):
             pltpu.VMEM((sp, dm), g.dtype),
             pltpu.VMEM((sp, dm), g.dtype),
         ],
-        compiler_params=_vmem_params(sp),
+        compiler_params=_vmem_params(sp, block_b),
         interpret=interpret,
     )(kernel_x, wq, wk, wv, wo, bqkv, gb_arr, brow, ctx, lse, gp)
     if ln_outside:

@@ -123,11 +123,24 @@ def evaluate_dat(
     debug_steps: int = 0,
 ) -> List[float]:
     """DAT eval protocol (``task_trainer.py:229-244``):
-    [gated ensemble, adapter_0 only, adapter_1 only]."""
-    scores = []
-    for mode in (MODE_ENSEMBLE, "adapter_0", "adapter_1"):
-        scores.append(
-            evaluate(params, eval_step, batches_factory(), num_examples, mode,
-                     debug_steps=debug_steps)
+    [gated ensemble, adapter_0 only, adapter_1 only].
+
+    One pass over the data: each host-built batch is scored under all three
+    adapter modes (identical results to three passes — eval batches are
+    deterministic — at a third of the host decode/tokenize/H2D cost)."""
+    modes = (MODE_ENSEMBLE, "adapter_0", "adapter_1")
+    partials: Dict[str, list] = {m: [] for m in modes}
+    for step_idx, batch in enumerate(batches_factory()):
+        if debug_steps and step_idx > debug_steps:
+            break
+        for m in modes:
+            partials[m].append(eval_step(params, batch, adapter_mode=m))
+    return [
+        (
+            float(sum(float(p) for p in jax.device_get(partials[m])))
+            if partials[m] else 0.0
         )
-    return scores
+        / max(1, num_examples)
+        * 100.0
+        for m in modes
+    ]
