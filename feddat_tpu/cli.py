@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ship pixels to the chip as RAW uint8 and normalize "
                         "on-device (4x less host->device traffic; the canvas "
                         "zero-pad is reproduced exactly via the pixel mask)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the first executed "
+                        "round into this directory (view in TensorBoard/"
+                        "xprof); the reference has no profiler at all "
+                        "(SURVEY §5.1)")
     p.add_argument("--smoke", action="store_true",
                    help="CI smoke mode: tiny model dimensions + tiny images (functional path only)")
     return p
@@ -639,10 +644,15 @@ def main(argv=None) -> int:
                 optimizer=next(iter(opt_overrides.values())),
                 num_epochs=next(iter(epoch_overrides.values())),
             )
+        profile_dir = args.profile_dir
+        if profile_dir and jax.process_count() > 1:
+            # one trace subtree per process (concurrent writers clash)
+            profile_dir = os.path.join(profile_dir, f"proc{jax.process_index()}")
         trainer = SPMDFederatedTrainer(
             model, params, list(clients.values()), config, mesh,
             make_forward=make_forward,
             use_fused=use_fused,
+            profile_dir=profile_dir,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
             family="albef" if is_albef else "vilt",
             answer_banks=answer_banks if is_albef else None,
@@ -710,6 +720,7 @@ def main(argv=None) -> int:
             num_epochs_overrides=epoch_overrides,
             checkpoint_dir=args.checkpoint_dir, metrics_logger=metrics,
             tp_mesh=tp_mesh,
+            profile_dir=args.profile_dir,
         )
         if args.do_single:
             history = [trainer.run_single_task()]

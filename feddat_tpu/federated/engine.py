@@ -83,6 +83,7 @@ class FederatedTrainer:
         optimizer_overrides: Optional[Dict[str, OptimizerConfig]] = None,
         num_epochs_overrides: Optional[Dict[str, int]] = None,
         tp_mesh=None,
+        profile_dir: Optional[str] = None,
     ):
         """``make_forward(model, task_key) -> forward`` and
         ``make_eval(model, task_key) -> eval_step`` customize the model
@@ -180,6 +181,9 @@ class FederatedTrainer:
         self.history: List[Dict[str, Any]] = []
         self.checkpoint_dir = checkpoint_dir
         self.metrics = metrics_logger
+        # jax.profiler trace of the first executed round (SURVEY §5.1 —
+        # view in TensorBoard/xprof); None = off
+        self.profile_dir = profile_dir
         self.aux_init = aux_init
         self.batch_transform = batch_transform
 
@@ -424,10 +428,13 @@ class FederatedTrainer:
         return entry
 
     def run(self, resume: bool = True) -> List[Dict[str, Any]]:
+        from feddat_tpu.utils.observability import trace
+
         rounds = self.config.federated.comm_rounds
         start = self.try_resume() if resume else 0
         for r in range(start, rounds):
-            self.run_round(r)
+            with trace(self.profile_dir, enabled=bool(self.profile_dir) and r == start):
+                self.run_round(r)
             if self.checkpoint_dir:
                 self.save_checkpoint(r)
             if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:

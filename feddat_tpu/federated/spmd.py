@@ -83,6 +83,7 @@ class SPMDFederatedTrainer:
         metric: str = "vqa_score",
         pad_token_id: int = 0,
         full_epochs: bool = False,
+        profile_dir: Optional[str] = None,
     ):
         """``use_fused`` selects the single-ensemble-pass fused DAT core
         (exact when encoder dropout is off; +14% measured on ViLT).
@@ -103,6 +104,9 @@ class SPMDFederatedTrainer:
         """
         self.checkpoint_dir = checkpoint_dir
         self.metrics = metrics_logger
+        # jax.profiler trace of the first executed round (SURVEY §5.1);
+        # multi-host: every process traces to its own profile_dir subtree
+        self.profile_dir = profile_dir
         self.family = family
         self.model = model
         self.config = config
@@ -857,10 +861,13 @@ class SPMDFederatedTrainer:
         return rnd + 1
 
     def run(self, resume: bool = True) -> List[Dict[str, Any]]:
+        from feddat_tpu.utils.observability import trace
+
         rounds = self.config.federated.comm_rounds
         start = self.try_resume() if resume else 0
         for r in range(start, rounds):
-            self.run_round(r)
+            with trace(self.profile_dir, enabled=bool(self.profile_dir) and r == start):
+                self.run_round(r)
             if self.checkpoint_dir:
                 self.save_checkpoint(r)
             if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:

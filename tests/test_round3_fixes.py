@@ -24,7 +24,14 @@ def test_fed_task_dirs_are_climb_relative():
     ``train_vqa_crossvqa.py:97-98``); hardcoded './data' prefixes would make
     the example pickles resolve CWD-relative while ans2label/images follow
     the flag."""
-    for key, spec in TASK_CONFIGS.items():
+    from feddat_tpu.configs.tasks import CLIENT_SETS
+
+    # built-in keys only: other tests register tmpdir (absolute) tasks into
+    # the shared registry, which are explicitly join-transparent
+    builtin = {k for keys in CLIENT_SETS.values() for k in keys}
+    builtin |= {"vqa", "nlvr2", "snli-ve", "vcr"}
+    for key in builtin:
+        spec = TASK_CONFIGS[key]
         assert not os.path.isabs(spec.data_dir), (key, spec.data_dir)
         assert not spec.data_dir.startswith("./data"), (key, spec.data_dir)
 
@@ -316,3 +323,51 @@ def test_attn_block_prep_broadcast_batch_bias():
     out = _prep(x, bias, 1)
     # _prep returns (x_padded, brow, ...); the bias row must carry B=2
     assert out[1].shape[0] == 2
+
+
+def test_profile_dir_traces_first_round(tmp_path):
+    """--profile_dir captures a jax.profiler trace of the first executed
+    round (works on CPU; viewable in TensorBoard/xprof)."""
+    import jax
+
+    from conftest import TINY_VILT, tiny_batch
+    from feddat_tpu.configs.core import (
+        FederatedConfig,
+        OptimizerConfig,
+        PEFTMode,
+        TrainConfig,
+    )
+    from feddat_tpu.federated.engine import FederatedTrainer
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+
+    rng = np.random.RandomState(0)
+    batch = tiny_batch(rng, 2)
+
+    class OneBatchData:
+        steps_per_epoch = 1
+        num_train_examples = 2
+        num_eval_examples = 2
+        batch_size = 2
+
+        def train_batches(self, epoch=0):
+            yield dict(batch)
+
+        def eval_batches(self):
+            b = dict(batch)
+            b["valid"] = np.ones(2, np.float32)
+            yield b
+
+    model = ViltContinualLearner(TINY_VILT, {"t": TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(
+        encoder_name="vilt", peft_mode=PEFTMode.DAT, tasks=("t",),
+        batch_size=2, optimizer=OptimizerConfig(lr=1e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1, dtype="float32",
+    )
+    prof = tmp_path / "trace"
+    tr = FederatedTrainer(model, params, {"t": OneBatchData()}, cfg,
+                          profile_dir=str(prof))
+    tr.run(resume=False)
+    dumped = list(prof.rglob("*"))
+    assert any(p.is_file() for p in dumped), f"no trace files under {prof}"
