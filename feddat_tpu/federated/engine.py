@@ -429,16 +429,24 @@ class FederatedTrainer:
 
     def run(self, resume: bool = True) -> List[Dict[str, Any]]:
         from feddat_tpu.utils.observability import trace
+        from feddat_tpu.utils.preemption import GracefulPreemption
 
         rounds = self.config.federated.comm_rounds
         start = self.try_resume() if resume else 0
-        for r in range(start, rounds):
-            with trace(self.profile_dir, enabled=bool(self.profile_dir) and r == start):
-                self.run_round(r)
-            if self.checkpoint_dir:
-                self.save_checkpoint(r)
-            if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
-                self.evaluate_round(r)
+        # SIGTERM (the TPU-fleet preemption notice) finishes the round in
+        # flight, checkpoints it, and exits cleanly; the relaunch resumes
+        # (SURVEY §5.3 — the reference has no failure handling at all)
+        with GracefulPreemption(enabled=bool(self.checkpoint_dir)) as stop:
+            for r in range(start, rounds):
+                with trace(self.profile_dir, enabled=bool(self.profile_dir) and r == start):
+                    self.run_round(r)
+                if self.checkpoint_dir:
+                    self.save_checkpoint(r)
+                if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
+                    self.evaluate_round(r)
+                if stop.requested:
+                    logger.warning("preempted: round %d checkpointed; exiting", r)
+                    break
         if not self.history and rounds > 0:
             # resumed at/after the final round: still produce a final eval so
             # the run's history is never empty

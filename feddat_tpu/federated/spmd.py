@@ -861,17 +861,30 @@ class SPMDFederatedTrainer:
         return rnd + 1
 
     def run(self, resume: bool = True) -> List[Dict[str, Any]]:
+        import logging
+
         from feddat_tpu.utils.observability import trace
+        from feddat_tpu.utils.preemption import GracefulPreemption
 
         rounds = self.config.federated.comm_rounds
         start = self.try_resume() if resume else 0
-        for r in range(start, rounds):
-            with trace(self.profile_dir, enabled=bool(self.profile_dir) and r == start):
-                self.run_round(r)
-            if self.checkpoint_dir:
-                self.save_checkpoint(r)
-            if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
-                self.evaluate_round(r)
+        # SIGTERM finishes the round in flight, checkpoints, exits cleanly
+        # (SURVEY §5.3).  Multi-host: every process checks the CONSENSUS
+        # flag at the same round boundary (any_process_requested is itself
+        # a collective), so no process leaves the collective loop alone.
+        with GracefulPreemption(enabled=bool(self.checkpoint_dir)) as stop:
+            for r in range(start, rounds):
+                with trace(self.profile_dir, enabled=bool(self.profile_dir) and r == start):
+                    self.run_round(r)
+                if self.checkpoint_dir:
+                    self.save_checkpoint(r)
+                if (r + 1) % self.config.federated.eval_every == 0 or r == rounds - 1:
+                    self.evaluate_round(r)
+                if self.checkpoint_dir and stop.any_process_requested():
+                    logging.getLogger("feddat_tpu").warning(
+                        "preempted: round %d checkpointed; exiting", r
+                    )
+                    break
         if not self.history and rounds > 0:
             # resumed at/after the final round: still produce a final eval so
             # the run's history is never empty

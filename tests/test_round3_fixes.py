@@ -371,3 +371,67 @@ def test_profile_dir_traces_first_round(tmp_path):
     tr.run(resume=False)
     dumped = list(prof.rglob("*"))
     assert any(p.is_file() for p in dumped), f"no trace files under {prof}"
+
+
+def test_graceful_preemption_checkpoints_and_exits(tmp_path):
+    """SIGTERM mid-run: the engine finishes the round in flight, writes its
+    checkpoint, and exits cleanly instead of dying mid-update (SURVEY §5.3;
+    preemptible TPU fleets deliver exactly this signal)."""
+    import os
+    import signal
+
+    import jax
+
+    from conftest import TINY_VILT, tiny_batch
+    from feddat_tpu.configs.core import (
+        FederatedConfig,
+        OptimizerConfig,
+        PEFTMode,
+        TrainConfig,
+    )
+    from feddat_tpu.federated.engine import FederatedTrainer
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+    from feddat_tpu.utils.checkpointing import latest_round
+
+    rng = np.random.RandomState(0)
+    batch = tiny_batch(rng, 2)
+
+    class SignalingData:
+        """Delivers SIGTERM while round 1's batches are being consumed."""
+
+        steps_per_epoch = 1
+        num_train_examples = 2
+        num_eval_examples = 2
+        batch_size = 2
+        rounds_seen = 0
+
+        def train_batches(self, epoch=0):
+            if self.rounds_seen == 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+            self.rounds_seen += 1
+            yield dict(batch)
+
+        def eval_batches(self):
+            b = dict(batch)
+            b["valid"] = np.ones(2, np.float32)
+            yield b
+
+    model = ViltContinualLearner(TINY_VILT, {"t": TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(
+        encoder_name="vilt", peft_mode=PEFTMode.DAT, tasks=("t",),
+        batch_size=2, optimizer=OptimizerConfig(lr=1e-3),
+        federated=FederatedConfig(comm_rounds=4, local_epochs=1, eval_every=1),
+        num_epochs=1, dtype="float32",
+    )
+    ckpt = tmp_path / "ckpt"
+    data = SignalingData()
+    prev = signal.getsignal(signal.SIGTERM)
+    tr = FederatedTrainer(model, params, {"t": data}, cfg, checkpoint_dir=str(ckpt))
+    history = tr.run(resume=False)
+    # stopped after round 1 of 4, with round 1 checkpointed
+    assert data.rounds_seen == 2
+    assert latest_round(str(ckpt)) == 1
+    assert [h["round"] for h in history] == [0, 1]
+    # the previous SIGTERM handler is restored on exit
+    assert signal.getsignal(signal.SIGTERM) == prev
