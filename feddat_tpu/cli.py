@@ -561,6 +561,36 @@ def main(argv=None) -> int:
         wandb_run_name=run_name,
     )
 
+    if args.checkpoint_dir and is_p0:
+        # persist the run's model recipe next to the round checkpoints so
+        # serving.*.from_checkpoint can rebuild the model without the
+        # original launch command
+        import dataclasses as _dc2
+
+        from feddat_tpu.utils.checkpointing import write_meta
+
+        meta = {
+            "encoder_name": args.encoder_name,
+            "optimizer_mode": args.optimizer_mode,
+            "adapter_reduction_factor": args.adapter_reduction_factor,
+            "dtype": args.dtype,
+            "engine": args.engine,
+            "tasks": list(task_keys),
+            "smoke": bool(args.smoke),
+            "image_size": (
+                [384, 640] if args.encoder_name in ("vilt", "viltbert") else None
+            ),
+            "attention_logits_dtype": (
+                None if args.smoke else logits_dtype
+            ),
+            "heads": {k: _dc2.asdict(head_spec(k)) for k in task_keys},
+        }
+        if args.encoder_name.startswith("albef"):
+            meta["answer_lists"] = {
+                k: list(clients[k].answer_list) for k in task_keys
+            }
+        write_meta(args.checkpoint_dir, meta)
+
     from feddat_tpu.train.trainers import resolve_trainer
 
     # Non-federated tasks take lr/wd/eps/warmup from the task config

@@ -25,6 +25,82 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def _load_checkpoint_recipe(checkpoint_dir: str, task_key: Optional[str]):
+    """-> (meta, resolved task_key, personalized params, default adapter_mode).
+
+    Reads the run recipe (``meta.json``, written by the CLI next to the
+    round checkpoints) and the latest round's params, and merges the
+    requested client's personal partition over the server tree — the same
+    personalization the engines evaluate with.  Handles both engines'
+    layouts: the sequential store (``personal[task_key]``) and the SPMD
+    stacked client bank (row ``tasks.index(task_key)``)."""
+    from feddat_tpu.peft.partition import merge
+    from feddat_tpu.utils.checkpointing import load_meta, restore_federated_state
+
+    meta = load_meta(checkpoint_dir)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no meta.json in {checkpoint_dir!r} — serving needs the run "
+            "recipe the CLI writes next to its round checkpoints"
+        )
+    if meta.get("smoke"):
+        raise ValueError(
+            "this checkpoint was written by a --smoke run (tiny dev model); "
+            "smoke models are not reconstructible for serving"
+        )
+    if task_key is None:
+        if len(meta["tasks"]) != 1:
+            raise ValueError(
+                f"checkpoint holds {len(meta['tasks'])} clients "
+                f"({meta['tasks']}); pass task_key="
+            )
+        task_key = meta["tasks"][0]
+    if task_key not in meta["tasks"]:
+        raise KeyError(f"task {task_key!r} not in checkpoint tasks {meta['tasks']}")
+    restored = restore_federated_state(checkpoint_dir)
+    if restored is None:
+        raise FileNotFoundError(f"no round checkpoints in {checkpoint_dir!r}")
+    _, server, personal, _ = restored
+    if "stacked_clients" in personal:  # SPMD engine: [C]-leading client bank
+        import jax
+
+        i = meta["tasks"].index(task_key)
+        client = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[i], personal["stacked_clients"]
+        )
+        params = merge(server, client)
+    else:
+        params = merge(server, personal[task_key])
+    mode = meta["optimizer_mode"]
+    adapter_mode = {"dat": "ensemble", "adapter": "adapter"}.get(mode, "none")
+    return meta, task_key, params, adapter_mode
+
+
+def _model_from_meta(meta) -> Tuple[Any, Any]:
+    """Rebuild the training-time model from the checkpoint recipe."""
+    from feddat_tpu.configs.core import PEFTMode
+    from feddat_tpu.models import create_model
+    from feddat_tpu.models.vilt import TaskHeadSpec
+
+    if meta["engine"] == "spmd":
+        # the SPMD engine trains ONE shared head module named task_fed
+        from feddat_tpu.federated.spmd import FED_HEAD_KEY
+
+        any_head = next(iter(meta["heads"].values()))
+        heads = {FED_HEAD_KEY: TaskHeadSpec(**any_head)}
+    else:
+        heads = {k: TaskHeadSpec(**v) for k, v in meta["heads"].items()}
+    return create_model(
+        meta["encoder_name"],
+        heads,
+        PEFTMode(meta["optimizer_mode"]),
+        meta["adapter_reduction_factor"],
+        meta["dtype"],
+        image_size=tuple(meta["image_size"]) if meta.get("image_size") else None,
+        attention_logits_dtype=meta.get("attention_logits_dtype") or "float32",
+    )
+
+
 def _pad_batch(arrs: Dict[str, np.ndarray], batch_size: int) -> Tuple[Dict[str, np.ndarray], int]:
     """Zero-pad every leading dim to ``batch_size``; returns (batch, n_real)."""
     n = next(iter(arrs.values())).shape[0]
@@ -77,6 +153,41 @@ class ViltVqaPredictor:
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         self._forward = _forward
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_dir: str,
+        tokenizer,
+        label2ans: Sequence[str],
+        task_key: Optional[str] = None,
+        model=None,
+        adapter_mode: Optional[str] = None,
+        **kw,
+    ) -> "ViltVqaPredictor":
+        """Train -> serve in one call: rebuild the model from the run recipe
+        (``meta.json``) and load the latest round's personalized params for
+        ``task_key`` (omit it when the checkpoint holds one client).
+
+        ``model`` overrides reconstruction (the caller guarantees it matches
+        the checkpoint's param tree — tests use tiny models this way);
+        ``adapter_mode`` defaults per the trained PEFT mode (DAT ->
+        'ensemble', the eval default)."""
+        meta, task_key, params, default_mode = _load_checkpoint_recipe(
+            checkpoint_dir, task_key
+        )
+        if model is None:
+            model, _ = _model_from_meta(meta)
+        if meta["engine"] == "spmd":
+            from feddat_tpu.federated.spmd import FED_HEAD_KEY
+
+            head_key = FED_HEAD_KEY
+        else:
+            head_key = task_key
+        return cls(
+            model, params, head_key, tokenizer, label2ans,
+            adapter_mode=adapter_mode or default_mode, **kw,
+        )
 
     def _preprocess(self, images, questions) -> Dict[str, np.ndarray]:
         from feddat_tpu.data.images import pack_u8_canvas, vilt_resized_u8
@@ -165,6 +276,38 @@ class AlbefVqaPredictor:
             )
 
         self._rank = _rank
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_dir: str,
+        tokenizer,
+        task_key: Optional[str] = None,
+        answer_list: Optional[Sequence[str]] = None,
+        model=None,
+        adapter_mode: Optional[str] = None,
+        **kw,
+    ) -> "AlbefVqaPredictor":
+        """Train -> serve for the ALBEF family (see
+        :meth:`ViltVqaPredictor.from_checkpoint`).  ``answer_list`` defaults
+        to the task's trained answer bank recorded in the run recipe."""
+        meta, task_key, params, default_mode = _load_checkpoint_recipe(
+            checkpoint_dir, task_key
+        )
+        if answer_list is None:
+            lists = meta.get("answer_lists") or {}
+            if task_key not in lists:
+                raise ValueError(
+                    "checkpoint recipe carries no answer list for "
+                    f"{task_key!r}; pass answer_list="
+                )
+            answer_list = lists[task_key]
+        if model is None:
+            model, _ = _model_from_meta(meta)
+        return cls(
+            model, params, tokenizer, answer_list,
+            adapter_mode=adapter_mode or default_mode, **kw,
+        )
 
     def _preprocess(self, images, questions) -> Dict[str, np.ndarray]:
         from feddat_tpu.data.images import albef_resized_u8

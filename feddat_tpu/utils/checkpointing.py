@@ -41,6 +41,32 @@ def save_federated_state(
     return path
 
 
+def write_meta(directory: str, meta: Dict[str, Any]) -> str:
+    """Persist the run's model recipe next to the round checkpoints
+    (``meta.json``): everything ``serving.*.from_checkpoint`` needs to
+    rebuild the model and pick the right head/adapter mode without the
+    original launch command."""
+    import json
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(os.path.abspath(directory), "meta.json")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, path)
+    return path
+
+
+def load_meta(directory: str) -> Optional[Dict[str, Any]]:
+    import json
+
+    path = os.path.join(os.path.abspath(directory), "meta.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def latest_round(directory: str) -> Optional[int]:
     """Largest N with a ``round_NNNNN`` entry.  Strict name match: stray
     entries like ``round_00012_old`` (manual backups, tool artifacts) must

@@ -613,3 +613,43 @@ def test_cli_cache_and_device_normalize_smoke(fake_task):
     histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
     history = json.load(open(out_dir / histories[0]))
     assert history and "testtask" in history[-1]["scores"]
+
+
+def test_cli_writes_serving_meta_with_checkpoints(fake_task):
+    """--checkpoint_dir runs record the serving recipe (meta.json) next to
+    the round checkpoints; smoke recipes are refused by from_checkpoint."""
+    import pytest as _pytest
+
+    from feddat_tpu.cli import main
+    from feddat_tpu.serving import _load_checkpoint_recipe
+    from feddat_tpu.utils.checkpointing import load_meta
+
+    data_root, vocab_file, tmp_path = fake_task
+    ckpt = tmp_path / "ckpt_meta"
+    rc = main(
+        [
+            "--encoder_name", "vilt",
+            "--optimizer_mode", "dat",
+            "--ordered_cl_tasks", "testtask",
+            "--climb_data_dir", str(data_root),
+            "--vocab_file", str(vocab_file),
+            "--output_dir", str(tmp_path / "logs_meta"),
+            "--checkpoint_dir", str(ckpt),
+            "--batch_size", "4",
+            "--comm_rounds", "1",
+            "--local_epochs", "1",
+            "--eval_every", "1",
+            "--num_epochs", "1",
+            "--dtype", "float32",
+            "--smoke",
+        ]
+    )
+    assert rc == 0
+    meta = load_meta(str(ckpt))
+    assert meta is not None
+    assert meta["tasks"] == ["testtask"]
+    assert meta["engine"] == "sequential"
+    assert meta["heads"]["testtask"]["num_labels"] == 100
+    assert meta["smoke"] is True
+    with _pytest.raises(ValueError, match="smoke"):
+        _load_checkpoint_recipe(str(ckpt), "testtask")

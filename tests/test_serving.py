@@ -81,3 +81,109 @@ def test_albef_predictor_structure():
     # deterministic
     out2 = p.predict(imgs, questions, top_k=2)
     assert out == out2
+
+
+def test_from_checkpoint_sequential_roundtrip(tmp_path):
+    """Train -> checkpoint -> serve: the predictor loads the latest round's
+    personalized params (server + personal partition merged, both engine
+    layouts) and the run recipe picks head key + adapter mode."""
+    import dataclasses
+
+    from flax import traverse_util
+
+    from feddat_tpu.configs.core import (
+        FederatedConfig,
+        OptimizerConfig,
+        PEFTMode,
+        TrainConfig,
+    )
+    from feddat_tpu.federated.engine import FederatedTrainer
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+    from feddat_tpu.utils.checkpointing import write_meta
+
+    rng = np.random.RandomState(0)
+    tok = WordPieceTokenizer.toy(["what", "is", "the", "color"])
+    from conftest import tiny_batch
+
+    batch = tiny_batch(rng, 2)
+
+    class OneBatchData:
+        steps_per_epoch = 1
+        num_train_examples = 2
+        num_eval_examples = 2
+        batch_size = 2
+
+        def train_batches(self, epoch=0):
+            yield dict(batch)
+
+        def eval_batches(self):
+            b = dict(batch)
+            b["valid"] = np.ones(2, np.float32)
+            yield b
+
+    head = TaskHeadSpec(num_labels=16)
+    model = ViltContinualLearner(TINY_VILT, {"t": head})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(
+        encoder_name="vilt", peft_mode=PEFTMode.DAT, tasks=("t",),
+        batch_size=2, optimizer=OptimizerConfig(lr=1e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1, dtype="float32",
+    )
+    ckpt = tmp_path / "ckpt"
+    tr = FederatedTrainer(model, params, {"t": OneBatchData()}, cfg,
+                          checkpoint_dir=str(ckpt))
+    tr.run(resume=False)
+    write_meta(str(ckpt), {
+        "encoder_name": "vilt", "optimizer_mode": "dat",
+        "adapter_reduction_factor": 4, "dtype": "float32",
+        "engine": "sequential", "tasks": ["t"], "smoke": False,
+        "image_size": list(TINY_VILT.image_size),
+        "attention_logits_dtype": "float32",
+        "heads": {"t": dataclasses.asdict(head)},
+    })
+    pred = ViltVqaPredictor.from_checkpoint(
+        str(ckpt), tok, [f"a{i}" for i in range(16)], model=model,
+        batch_size=4, canvas=TINY_VILT.image_size,
+        max_text_len=TINY_VILT.max_text_len,
+    )
+    assert pred.adapter_mode == "ensemble"  # DAT eval default
+    # the served params are exactly the engine's personalized client tree
+    expect = tr._client_params(tr.clients[0], refresh=False)
+    got = traverse_util.flatten_dict(pred._params)
+    want = traverse_util.flatten_dict(expect)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=0, atol=0, err_msg=str(k))
+    imgs = _images(2, rng, hw=TINY_VILT.image_size)
+    out = pred.predict(imgs, ["what is the color", "what is the color"], top_k=2)
+    assert len(out) == 2 and all(len(r) == 2 for r in out)
+
+
+def test_from_checkpoint_spmd_layout_row_selection(tmp_path):
+    """The SPMD stacked-client-bank layout: from_checkpoint slices the
+    requested client's row and merges it over the backbone."""
+    import jax.numpy as jnp
+
+    from feddat_tpu.serving import _load_checkpoint_recipe
+    from feddat_tpu.utils.checkpointing import save_federated_state, write_meta
+
+    backbone = {"enc": {"w": np.ones((2, 2), np.float32)}}
+    stacked = {"task_fed": {"k": np.stack([np.full((3,), i, np.float32) for i in range(2)])}}
+    save_federated_state(str(tmp_path), 0, backbone,
+                         {"stacked_clients": stacked}, jnp.zeros((2,), jnp.uint32))
+    write_meta(str(tmp_path), {
+        "encoder_name": "vilt", "optimizer_mode": "adapter",
+        "adapter_reduction_factor": 16, "dtype": "bfloat16",
+        "engine": "spmd", "tasks": ["a", "b"], "smoke": False,
+        "image_size": [384, 640], "attention_logits_dtype": "bfloat16",
+        "heads": {"a": {"num_labels": 100}, "b": {"num_labels": 100}},
+    })
+    meta, task_key, params, mode = _load_checkpoint_recipe(str(tmp_path), "b")
+    assert mode == "adapter"
+    np.testing.assert_array_equal(np.asarray(params["task_fed"]["k"]),
+                                  np.full((3,), 1.0, np.float32))
+    np.testing.assert_array_equal(np.asarray(params["enc"]["w"]), np.ones((2, 2)))
+    with pytest.raises(KeyError):
+        _load_checkpoint_recipe(str(tmp_path), "zzz")
