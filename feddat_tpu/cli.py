@@ -40,7 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ordered_cl_tasks", default="domain",
                    help="client-set keyword (scene|function|domain) or comma-separated task keys")
     p.add_argument("--batch_size", type=int, default=2)
-    p.add_argument("--val_batch_size", type=int, default=2)
+    p.add_argument("--val_batch_size", type=int, default=None,
+                   help="eval-loader batch size (reference flag; its launch "
+                        "scripts pass 2).  Default: --batch_size — eval "
+                        "batches match train batches unless explicitly set")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--comm_rounds", type=int, default=20)
     p.add_argument("--local_epochs", type=int, default=1)
@@ -251,7 +254,9 @@ def _build_classification_client(args, key, spec, tokenizer):
         return Nlvr2Pipeline(
             ex, tokenizer, max_text_len, canvas,
             batch_size=max(1, args.batch_size // 2),
-            val_batch_size=max(1, args.val_batch_size // 2),
+            val_batch_size=(
+                max(1, args.val_batch_size // 2) if args.val_batch_size else None
+            ),
             seed=args.seed, eval_examples=ev,
         )
     if spec.trainer == "snli_ve":
@@ -390,7 +395,7 @@ def main(argv=None) -> int:
         peft_mode=mode,
         tasks=tuple(task_keys),
         batch_size=args.batch_size,
-        val_batch_size=args.val_batch_size,
+        val_batch_size=args.val_batch_size or args.batch_size,
         seed=args.seed,
         optimizer=OptimizerConfig(lr=args.lr),
         federated=FederatedConfig(

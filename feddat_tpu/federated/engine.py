@@ -422,7 +422,12 @@ class FederatedTrainer:
                     params, client.eval_step, client.data.eval_batches(), n, mode,
                     debug_steps=self.config.debug_steps,
                 )
+        # leave the trainer as it started: server AND personal store (a
+        # later run() must not inherit baseline-trained personal partitions
+        # — the mirror image of the reset at the top of each task)
         self.server_params = init_server
+        for c in self.clients:
+            self.personal[c.task_key] = init_personal
         entry = {"round": -1, "scores": results, "single_task": True}
         self.history.append(entry)
         return entry

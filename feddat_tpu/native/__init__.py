@@ -70,26 +70,29 @@ def _load():
             # the source when it was committed
         try:
             lib = ctypes.CDLL(_SO)
-        except OSError as e:  # corrupt/incompatible binary: degrade, not crash
+            # binding an argtype touches the symbol: an outdated fallback
+            # binary missing a newer export raises AttributeError here —
+            # degrade to the Python paths, never crash available()
+            lib.resize_normalize_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.finalize_canvas_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.wp_create.restype = ctypes.c_void_p
+            lib.wp_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int32] * 4
+            lib.wp_destroy.argtypes = [ctypes.c_void_p]
+            lib.wp_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ]
+        except (OSError, AttributeError) as e:  # corrupt/stale binary: degrade
             _build_error = str(e)
             return None
-        lib.resize_normalize_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-        ]
-        lib.finalize_canvas_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-        ]
-        lib.wp_create.restype = ctypes.c_void_p
-        lib.wp_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int32] * 4
-        lib.wp_destroy.argtypes = [ctypes.c_void_p]
-        lib.wp_encode_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
-        ]
         _lib = lib
         return _lib
 

@@ -125,7 +125,7 @@ def dot_product_attention(
             and vmem_est <= 16 * 1024 * 1024
             and (
                 bias is None
-                or (bias.shape[0] == q.shape[0]
+                or (bias.shape[0] in (1, q.shape[0])  # kernel expands B=1
                     and bias.shape[1] == 1 and bias.shape[2] == 1)
             )
         )

@@ -74,7 +74,11 @@ def initialize_multihost(
             process_id=process_id,
         )
     except (RuntimeError, ValueError) as e:
-        if "already" in str(e).lower():  # initialized by an outer harness
+        # double-init is benign (an outer harness brought the cluster up).
+        # jax wordings vary by version: 0.9 raises "...should only be
+        # called once.", older builds say "already initialized".
+        msg = str(e).lower()
+        if "already" in msg or "once" in msg:
             return jax.process_count()
         raise RuntimeError(
             "jax.distributed.initialize failed under --multihost; refusing "

@@ -275,10 +275,17 @@ def test_initialize_multihost_failure_propagates(monkeypatch):
     with pytest.raises(RuntimeError, match="refusing"):
         mesh_mod.initialize_multihost()
 
+    # jax 0.9.0's actual double-init wording (no "already" in it)
     def already(**kw):
-        raise RuntimeError("jax.distributed.initialize was already called")
+        raise RuntimeError("distributed.initialize should only be called once.")
 
     monkeypatch.setattr(jax.distributed, "initialize", already)
+    assert mesh_mod.initialize_multihost() == jax.process_count()
+
+    def already_old(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already_old)
     assert mesh_mod.initialize_multihost() == jax.process_count()
 
 
@@ -435,3 +442,75 @@ def test_graceful_preemption_checkpoints_and_exits(tmp_path):
     assert [h["round"] for h in history] == [0, 1]
     # the previous SIGTERM handler is restored on exit
     assert signal.getsignal(signal.SIGTERM) == prev
+
+
+def test_fused_attention_broadcast_bias_matches_xla():
+    """A [1,1,1,S] batch-broadcast bias stays on the fused fast path (the
+    kernel expands it) and matches XLA."""
+    import jax.numpy as jnp
+
+    from feddat_tpu.ops.attention import dot_product_attention
+
+    rng = np.random.RandomState(0)
+    B, H, S, D = 2, 2, 24, 8
+    q = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    bias = jnp.where(jnp.arange(S) < 20, 0.0, -10000.0)[None, None, None, :]
+    out_f = dot_product_attention(q, k, v, bias, impl="fused")
+    out_x = dot_product_attention(q, k, v, bias, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=2e-5, atol=2e-6)
+
+
+def test_run_single_task_then_run_starts_from_init(tmp_path):
+    """run_single_task leaves NO baseline-trained personal state behind: a
+    following run() starts its clients from the initial partitions."""
+    import jax
+
+    from conftest import TINY_VILT, tiny_batch
+    from feddat_tpu.configs.core import (
+        FederatedConfig,
+        OptimizerConfig,
+        PEFTMode,
+        TrainConfig,
+    )
+    from feddat_tpu.federated.engine import FederatedTrainer
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+
+    rng = np.random.RandomState(0)
+    batch = tiny_batch(rng, 2)
+
+    class OneBatchData:
+        steps_per_epoch = 1
+        num_train_examples = 2
+        num_eval_examples = 2
+        batch_size = 2
+
+        def train_batches(self, epoch=0):
+            yield dict(batch)
+
+        def eval_batches(self):
+            b = dict(batch)
+            b["valid"] = np.ones(2, np.float32)
+            yield b
+
+    model = ViltContinualLearner(TINY_VILT, {"t": TaskHeadSpec(num_labels=16)})
+    params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+    cfg = TrainConfig(
+        encoder_name="vilt", peft_mode=PEFTMode.DAT, tasks=("t",),
+        batch_size=2, optimizer=OptimizerConfig(lr=1e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=1, dtype="float32",
+    )
+    tr = FederatedTrainer(model, params, {"t": OneBatchData()}, cfg)
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    before = {
+        k: np.asarray(v)
+        for k, v in traverse_util.flatten_dict(tr.personal["t"]).items()
+    }
+    tr.run_single_task()
+    after = traverse_util.flatten_dict(tr.personal["t"])
+    for k, v in before.items():
+        np.testing.assert_array_equal(v, np.asarray(after[k]), err_msg=str(k))
