@@ -187,3 +187,53 @@ def test_from_checkpoint_spmd_layout_row_selection(tmp_path):
     np.testing.assert_array_equal(np.asarray(params["enc"]["w"]), np.ones((2, 2)))
     with pytest.raises(KeyError):
         _load_checkpoint_recipe(str(tmp_path), "zzz")
+
+
+def test_albef_from_checkpoint_uses_recipe_answer_list(tmp_path):
+    """ALBEF from_checkpoint: rebuilds the predictor from a saved round +
+    recipe, defaulting the answer bank to the trained one in meta.json."""
+    import jax.numpy as jnp
+
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from feddat_tpu.utils.checkpointing import save_federated_state, write_meta
+    from test_albef import TINY_ALBEF
+
+    rng = np.random.RandomState(2)
+    tok = WordPieceTokenizer.toy(["what", "is", "the", "a", "red", "blue"])
+    answers = ["red", "blue", "a red", "the blue"]
+    model = AlbefModel(TINY_ALBEF)
+    imgs = _images(2, rng)
+    questions = ["what is the a", "what is red"]
+    probe = AlbefVqaPredictor(model, None, tok, answers, batch_size=2, k=3,
+                              max_question_len=6, max_answer_len=4)
+    batch = probe._preprocess(imgs, questions)
+    batch["answer_ids"] = np.zeros((2, 2, 4), np.int32)
+    batch["answer_mask"] = np.zeros((2, 2, 4), np.int32)
+    batch["answer_weights"] = np.zeros((2, 2), np.float32)
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch)
+
+    # save in the sequential-engine layout (personal keyed by task)
+    from feddat_tpu.peft.partition import label_params, personal_roles, split_by_roles
+    from feddat_tpu.configs.core import PEFTMode
+
+    labels = label_params(params)
+    personal, rest = split_by_roles(params, labels, personal_roles(PEFTMode.DAT))
+    ckpt = tmp_path / "ck"
+    save_federated_state(str(ckpt), 0, rest, {"vqa_task": personal},
+                         jnp.zeros((2,), jnp.uint32))
+    write_meta(str(ckpt), {
+        "encoder_name": "albef_no_distill", "optimizer_mode": "dat",
+        "adapter_reduction_factor": 4, "dtype": "float32",
+        "engine": "sequential", "tasks": ["vqa_task"], "smoke": False,
+        "image_size": None, "attention_logits_dtype": "float32",
+        "heads": {"vqa_task": {"num_labels": 100}},
+        "answer_lists": {"vqa_task": answers},
+    })
+    pred = AlbefVqaPredictor.from_checkpoint(
+        str(ckpt), tok, model=model, batch_size=2, k=3,
+        max_question_len=6, max_answer_len=4,
+    )
+    assert pred.answer_list == answers
+    assert pred.adapter_mode == "ensemble"
+    out = pred.predict(imgs, questions, top_k=2)
+    assert len(out) == 2 and all(a in answers for r in out for a, _ in r)
