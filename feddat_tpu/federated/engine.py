@@ -441,6 +441,7 @@ class FederatedTrainer:
         # SIGTERM (the TPU-fleet preemption notice) finishes the round in
         # flight, checkpoints it, and exits cleanly; the relaunch resumes
         # (SURVEY §5.3 — the reference has no failure handling at all)
+        preempted = False
         with GracefulPreemption(enabled=bool(self.checkpoint_dir)) as stop:
             for r in range(start, rounds):
                 with trace(self.profile_dir, enabled=bool(self.profile_dir) and r == start):
@@ -451,9 +452,12 @@ class FederatedTrainer:
                     self.evaluate_round(r)
                 if stop.requested:
                     logger.warning("preempted: round %d checkpointed; exiting", r)
+                    preempted = True
                     break
-        if not self.history and rounds > 0:
+        if not self.history and rounds > 0 and not preempted:
             # resumed at/after the final round: still produce a final eval so
-            # the run's history is never empty
+            # the run's history is never empty.  NOT on preemption — a cut
+            # run must not masquerade as a completed one (the relaunch
+            # resumes and produces the real final eval).
             self.evaluate_round(rounds - 1)
         return self.history

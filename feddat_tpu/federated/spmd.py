@@ -872,6 +872,7 @@ class SPMDFederatedTrainer:
         # (SURVEY §5.3).  Multi-host: every process checks the CONSENSUS
         # flag at the same round boundary (any_process_requested is itself
         # a collective), so no process leaves the collective loop alone.
+        preempted = False
         with GracefulPreemption(enabled=bool(self.checkpoint_dir)) as stop:
             for r in range(start, rounds):
                 with trace(self.profile_dir, enabled=bool(self.profile_dir) and r == start):
@@ -884,9 +885,12 @@ class SPMDFederatedTrainer:
                     logging.getLogger("feddat_tpu").warning(
                         "preempted: round %d checkpointed; exiting", r
                     )
+                    preempted = True
                     break
-        if not self.history and rounds > 0:
+        if not self.history and rounds > 0 and not preempted:
             # resumed at/after the final round: still produce a final eval so
-            # the run's history is never empty
+            # the run's history is never empty.  NOT on preemption — a cut
+            # run must not masquerade as a completed one (the relaunch
+            # resumes and produces the real final eval).
             self.evaluate_round(rounds - 1)
         return self.history

@@ -594,3 +594,42 @@ def test_spmd_freeze_bottom_k_comm_semantics_match_oracle():
     entry = trainer.evaluate_round(0)
     for scores in entry["scores"].values():
         assert all(np.isfinite(s) for s in scores)
+
+
+def test_spmd_graceful_preemption(tmp_path):
+    """SIGTERM during an SPMD round: finish it, checkpoint it, exit at the
+    (single-process) consensus boundary instead of dying mid-collective."""
+    import dataclasses
+    import os
+    import signal
+
+    from feddat_tpu.utils.checkpointing import latest_round
+
+    model, params, clients, cfg = _setup(num_clients=2)
+    cfg = dataclasses.replace(
+        cfg, federated=FederatedConfig(comm_rounds=4, local_epochs=1, eval_every=4)
+    )
+    mesh = make_mesh(num_clients=2, data_parallel=1)
+
+    fired = {"n": 0}
+    orig = clients[0].train_batches
+
+    def signaling_train_batches(epoch=0):
+        # second round (epoch ids are round*1000+e): deliver the preemption
+        if epoch >= 1000:
+            fired["n"] += 1
+            os.kill(os.getpid(), signal.SIGTERM)
+        yield from orig(epoch)
+
+    clients[0].train_batches = signaling_train_batches
+    prev = signal.getsignal(signal.SIGTERM)
+    trainer = SPMDFederatedTrainer(
+        model, params, clients, cfg, mesh, checkpoint_dir=str(tmp_path)
+    )
+    history = trainer.run(resume=False)
+    assert fired["n"] == 1
+    assert latest_round(str(tmp_path)) == 1  # rounds 0 and 1 ran, 2..3 didn't
+    assert signal.getsignal(signal.SIGTERM) == prev
+    # eval_every=4 never fired before the break; a preempted run must NOT
+    # fall back to evaluating the final round as if it completed
+    assert history == []
