@@ -811,17 +811,19 @@ class SPMDFederatedTrainer:
             return None
         from feddat_tpu.utils.checkpointing import save_federated_state
 
-        if self._multihost and self.process_index != 0:
-            # orbax-style single-writer: process 0 gathers and writes.  All
-            # processes must still participate in the allgather below.
-            jax.tree_util.tree_map(self._to_host, self.client_state)
-            return None
-        return save_federated_state(
+        # EVERY process calls save: the client-state allgather is a
+        # collective, and orbax's save is ITSELF collective in multiprocess
+        # mode (internal sync_global_devices barriers) — a p0-only call
+        # desyncs the barrier names and deadlocks/aborts the run (caught by
+        # tests/test_multihost_real.py's preemption scenario).  Orbax writes
+        # from the primary host; --checkpoint_dir must be one shared path.
+        path = save_federated_state(
             self.checkpoint_dir, round_idx,
             jax.tree_util.tree_map(self._to_host, self.backbone),
             {"stacked_clients": jax.tree_util.tree_map(self._to_host, self.client_state)},
             self.rng,
         )
+        return path if self.process_index == 0 else None
 
     def try_resume(self) -> int:
         if not self.checkpoint_dir:

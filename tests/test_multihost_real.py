@@ -149,6 +149,8 @@ def worker(proc_id: int, nproc: int, port: int, out_dir: str, family: str = "vil
     from feddat_tpu.federated.spmd import SPMDFederatedTrainer
     from feddat_tpu.parallel.mesh import make_multihost_mesh
 
+    if family == "preempt":
+        return _preempt_worker(proc_id, out_dir)
     if family == "albef":
         clients = _make_albef_clients()
         model, params, cfg = _make_albef_model_and_cfg(clients)
@@ -197,6 +199,52 @@ def worker(proc_id: int, nproc: int, port: int, out_dir: str, family: str = "vil
             json.dump(
                 {"scores": entry["scores"], "local_slots": trainer.local_slots}, f
             )
+
+
+def _preempt_worker(proc_id: int, out_dir: str) -> None:
+    """Preemption CONSENSUS across real processes: only process 1 receives
+    SIGTERM (mid round 1); the per-round consensus allgather must make BOTH
+    processes checkpoint round 1 and leave the collective loop together —
+    a lone early exit would deadlock the other at the next collective."""
+    import dataclasses
+    import signal
+
+    from feddat_tpu.configs.core import FederatedConfig
+    from feddat_tpu.federated.spmd import SPMDFederatedTrainer
+    from feddat_tpu.parallel.mesh import make_multihost_mesh
+    from feddat_tpu.utils.checkpointing import latest_round
+
+    clients = _make_clients()
+    model, params, cfg = _make_model_and_cfg(clients)
+    cfg = dataclasses.replace(
+        cfg, federated=FederatedConfig(comm_rounds=3, local_epochs=1, eval_every=3)
+    )
+    mesh = make_multihost_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
+    ckpt = os.path.join(out_dir, "ckpt")
+    trainer = SPMDFederatedTrainer(
+        model, params, clients, cfg, mesh, checkpoint_dir=ckpt
+    )
+
+    if proc_id == 1:
+        # deliver SIGTERM to THIS process only, while round 1's batches are
+        # being produced (spmd passes epoch = round*1000 + e)
+        victim = clients[trainer.local_slots[0]]
+        orig = victim.train_batches
+
+        def signaling(epoch=0):
+            if epoch >= 1000:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield from orig(epoch)
+
+        victim.train_batches = signaling
+
+    history = trainer.run(resume=False)
+    # both processes must agree: rounds 0..1 ran, 2 did not, no final eval
+    assert history == [], history
+    if proc_id == 0:
+        assert latest_round(ckpt) == 1, latest_round(ckpt)
+        with open(os.path.join(out_dir, "preempt_ok.json"), "w") as f:
+            json.dump({"latest_round": latest_round(ckpt)}, f)
 
 
 def _run_two_process(tmp_path, family: str):
@@ -254,6 +302,16 @@ def test_two_process_spmd_round_matches_single_process(tmp_path):
     mesh = make_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
     trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
     _compare_with_single_process(tmp_path, trainer)
+
+
+@pytest.mark.slow
+def test_two_process_preemption_consensus(tmp_path):
+    """Only process 1 is SIGTERM'd; the consensus allgather makes both
+    processes checkpoint the same round and exit rc=0 (no deadlock, no
+    mid-collective abandonment)."""
+    _run_two_process(tmp_path, "preempt")
+    got = json.load(open(tmp_path / "preempt_ok.json"))
+    assert got["latest_round"] == 1
 
 
 @pytest.mark.slow
