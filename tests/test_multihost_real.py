@@ -151,6 +151,8 @@ def worker(proc_id: int, nproc: int, port: int, out_dir: str, family: str = "vil
 
     if family == "preempt":
         return _preempt_worker(proc_id, out_dir)
+    if family == "resume":
+        return _resume_worker(proc_id, out_dir)
     if family == "albef":
         clients = _make_albef_clients()
         model, params, cfg = _make_albef_model_and_cfg(clients)
@@ -247,6 +249,41 @@ def _preempt_worker(proc_id: int, out_dir: str) -> None:
             json.dump({"latest_round": latest_round(ckpt)}, f)
 
 
+def _resume_worker(proc_id: int, out_dir: str) -> None:
+    """Checkpoint/RESUME across real processes: run round 0, checkpoint,
+    rebuild a fresh trainer, try_resume (round-agreement allgather + the
+    collective orbax restore), run round 1, and dump the final state —
+    compared against an uninterrupted single-process 2-round run."""
+    import jax
+
+    from feddat_tpu.federated.spmd import SPMDFederatedTrainer
+    from feddat_tpu.parallel.mesh import make_multihost_mesh
+    from flax import traverse_util
+
+    ckpt = os.path.join(out_dir, "ckpt")
+    clients = _make_clients()
+    model, params, cfg = _make_model_and_cfg(clients)
+    mesh = make_multihost_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
+    t1 = SPMDFederatedTrainer(model, params, clients, cfg, mesh, checkpoint_dir=ckpt)
+    t1.run_round(0)
+    t1.save_checkpoint(0)
+
+    # fresh trainer, DIFFERENT init (resume must fully overwrite it)
+    clients2 = _make_clients()
+    params2 = jax.tree_util.tree_map(lambda x: x * 0.0, params)
+    t2 = SPMDFederatedTrainer(model, params2, clients2, cfg, mesh, checkpoint_dir=ckpt)
+    start = t2.try_resume()
+    assert start == 1, start
+    t2.run_round(1)
+    entry = t2.evaluate_round(1)
+    flat = traverse_util.flatten_dict(t2.client_state)
+    state = {"/".join(map(str, k)): t2._to_host(flat[k]) for k in sorted(flat)}
+    if proc_id == 0:
+        np.savez(os.path.join(out_dir, "mh_state.npz"), **state)
+        with open(os.path.join(out_dir, "mh_scores.json"), "w") as f:
+            json.dump({"scores": entry["scores"], "local_slots": t2.local_slots}, f)
+
+
 def _run_two_process(tmp_path, family: str):
     # free port for the coordinator
     with socket.socket() as s:
@@ -312,6 +349,33 @@ def test_two_process_preemption_consensus(tmp_path):
     _run_two_process(tmp_path, "preempt")
     got = json.load(open(tmp_path / "preempt_ok.json"))
     assert got["latest_round"] == 1
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """2-process round 0 -> checkpoint -> FRESH trainers resume -> round 1
+    must equal an uninterrupted single-process 2-round run (collective orbax
+    save/restore + round-agreement allgather + rng-chain restoration)."""
+    _run_two_process(tmp_path, "resume")
+
+    from feddat_tpu.federated.spmd import SPMDFederatedTrainer
+    from feddat_tpu.parallel.mesh import make_mesh
+
+    clients = _make_clients()
+    model, params, cfg = _make_model_and_cfg(clients)
+    mesh = make_mesh(num_clients=NUM_CLIENTS, data_parallel=DATA_PARALLEL)
+    trainer = SPMDFederatedTrainer(model, params, clients, cfg, mesh)
+    trainer.run_round(0)
+    trainer.run_round(1)
+    entry = trainer.evaluate_round(1)
+    want = _flatten_state(trainer.client_state)
+    got = dict(np.load(tmp_path / "mh_state.npz"))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=5e-4, atol=5e-6, err_msg=k)
+    mh = json.load(open(tmp_path / "mh_scores.json"))
+    for task, scores in entry["scores"].items():
+        np.testing.assert_allclose(mh["scores"][task], scores, atol=0.51, err_msg=task)
 
 
 @pytest.mark.slow
