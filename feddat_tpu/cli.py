@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="storage dtype of attention logits; default float32 "
                         "(reference parity), bfloat16 = +14-16%% throughput; "
                         "defaults to bfloat16 when --dtype bfloat16")
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="host-pipeline decode/resize thread-pool size "
+                        "(reference: torch DataLoader workers, default 2; "
+                        "threads suffice here because PIL decode and the "
+                        "native normalize core release the GIL).  0 = "
+                        "serial loading")
     p.add_argument("--cache_images", action="store_true",
                    help="cache decoded+resized images (uint8) across "
                         "epochs/rounds; per-epoch normalize+pad runs fused in "
@@ -182,6 +188,7 @@ def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
             batch_size=args.batch_size, val_batch_size=args.val_batch_size,
             seed=args.seed, eval_examples=eval_examples,
             cache_images=args.cache_images, pixels_u8=args.device_normalize,
+            num_workers=args.num_workers,
             **({"image_size": 64, "max_question_len": 12, "max_answer_len": 6}
                if args.smoke else {}),
         )
@@ -192,7 +199,7 @@ def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
         num_labels=spec.num_labels, batch_size=args.batch_size,
         val_batch_size=args.val_batch_size, seed=args.seed,
         eval_examples=eval_examples, cache_images=args.cache_images,
-        pixels_u8=args.device_normalize,
+        pixels_u8=args.device_normalize, num_workers=args.num_workers,
         **({"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}),
     )
 
@@ -242,6 +249,7 @@ def _build_classification_client(args, key, spec, tokenizer):
             batch_size=args.batch_size, val_batch_size=args.val_batch_size,
             seed=args.seed, eval_examples=ev,
             cache_images=args.cache_images, pixels_u8=args.device_normalize,
+            num_workers=args.num_workers,
             **smoke_kw,
         )
     if spec.trainer == "nlvr2":
