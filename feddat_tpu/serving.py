@@ -113,6 +113,22 @@ def _pad_batch(arrs: Dict[str, np.ndarray], batch_size: int) -> Tuple[Dict[str, 
     return out, n
 
 
+def _normalize_buckets(batch_buckets: Optional[Sequence[int]], batch_size: int) -> Tuple[int, ...]:
+    """Ascending unique bucket sizes, always including ``batch_size``."""
+    buckets = sorted(set(batch_buckets or ()) | {batch_size})
+    if any(b <= 0 for b in buckets):
+        raise ValueError(f"batch buckets must be positive: {buckets}")
+    return tuple(buckets)
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    """Smallest compiled bucket that fits ``n`` examples."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
 class ViltVqaPredictor:
     """Serving wrapper for a trained ViLT(-family) continual learner.
 
@@ -132,7 +148,13 @@ class ViltVqaPredictor:
         canvas: Tuple[int, int] = (384, 640),
         max_text_len: int = 40,
         adapter_mode: str = "ensemble",
+        batch_buckets: Optional[Sequence[int]] = None,
     ):
+        """``batch_buckets``: extra compiled batch sizes for latency-sensitive
+        serving — each request chunk runs at the smallest bucket that fits,
+        so a single question doesn't pay ``batch_size``-worth of padded
+        pixels over the host->device link (one extra compile per bucket,
+        e.g. ``batch_buckets=(1,)``).  ``batch_size`` is always a bucket."""
         import jax
         import jax.numpy as jnp
         from functools import partial
@@ -140,6 +162,7 @@ class ViltVqaPredictor:
         self.tokenizer = tokenizer
         self.label2ans = list(label2ans)
         self.batch_size = batch_size
+        self.buckets = _normalize_buckets(batch_buckets, batch_size)
         self.canvas = canvas
         self.max_text_len = max_text_len
         self.adapter_mode = adapter_mode
@@ -218,7 +241,8 @@ class ViltVqaPredictor:
         for s in range(0, len(images), self.batch_size):
             chunk_imgs = images[s : s + self.batch_size]
             chunk_qs = questions[s : s + self.batch_size]
-            batch, n = _pad_batch(self._preprocess(chunk_imgs, chunk_qs), self.batch_size)
+            bucket = _bucket_for(len(chunk_imgs), self.buckets)
+            batch, n = _pad_batch(self._preprocess(chunk_imgs, chunk_qs), bucket)
             probs = np.asarray(self._forward(self._params, batch, self.adapter_mode))[:n]
             order = np.argsort(-probs, axis=-1)[:, :top_k]
             for i in range(n):
@@ -230,7 +254,10 @@ class ViltVqaPredictor:
 
 class AlbefVqaPredictor:
     """Serving wrapper for a trained ALBEF model: two-stage answer ranking
-    over a fixed answer list (``rank_answer``, ``albef_model.py:171-228``)."""
+    over a fixed answer list (``rank_answer``, ``albef_model.py:171-228``).
+
+    ``batch_buckets`` as in :class:`ViltVqaPredictor`: extra compiled batch
+    sizes so small requests skip the full-batch padding cost."""
 
     def __init__(
         self,
@@ -244,6 +271,7 @@ class AlbefVqaPredictor:
         max_answer_len: int = 10,
         adapter_mode: str = "ensemble",
         pad_token_id: int = 0,
+        batch_buckets: Optional[Sequence[int]] = None,
     ):
         import jax
         from functools import partial
@@ -254,6 +282,7 @@ class AlbefVqaPredictor:
         self.tokenizer = tokenizer
         self.answer_list = list(answer_list)
         self.batch_size = batch_size
+        self.buckets = _normalize_buckets(batch_buckets, batch_size)
         self.max_question_len = max_question_len
         self.image_size = model.cfg.image_res
         self.adapter_mode = adapter_mode
@@ -344,10 +373,11 @@ class AlbefVqaPredictor:
             )
         results: List[List[Tuple[str, float]]] = []
         for s in range(0, len(images), self.batch_size):
-            batch, n = _pad_batch(
-                self._preprocess(images[s : s + self.batch_size], questions[s : s + self.batch_size]),
-                self.batch_size,
+            chunk = self._preprocess(
+                images[s : s + self.batch_size], questions[s : s + self.batch_size]
             )
+            bucket = _bucket_for(chunk["pixel_values"].shape[0], self.buckets)
+            batch, n = _pad_batch(chunk, bucket)
             topk_ids, topk_probs = self._rank(self._params, batch, self.adapter_mode)
             topk_ids = np.asarray(topk_ids)[:n]
             topk_probs = np.asarray(topk_probs)[:n]

@@ -237,3 +237,45 @@ def test_albef_from_checkpoint_uses_recipe_answer_list(tmp_path):
     assert pred.adapter_mode == "ensemble"
     out = pred.predict(imgs, questions, top_k=2)
     assert len(out) == 2 and all(a in answers for r in out for a, _ in r)
+
+
+def test_vilt_predictor_batch_buckets_match_full_padding():
+    """batch_buckets: small chunks run at the smallest compiled bucket that
+    fits, numerically identical to full-batch padding."""
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+    from feddat_tpu.serving import _bucket_for, _normalize_buckets
+
+    assert _normalize_buckets((1, 4), 8) == (1, 4, 8)
+    assert _normalize_buckets(None, 8) == (8,)
+    assert _bucket_for(1, (1, 4, 8)) == 1
+    assert _bucket_for(3, (1, 4, 8)) == 4
+    assert _bucket_for(8, (1, 4, 8)) == 8
+    with pytest.raises(ValueError):
+        _normalize_buckets((0,), 8)
+
+    rng = np.random.RandomState(0)
+    tok = WordPieceTokenizer.toy(["what", "is", "the", "color"])
+    label2ans = [f"ans{i}" for i in range(16)]
+    model = ViltContinualLearner(TINY_VILT, {"t": TaskHeadSpec(num_labels=16)})
+    imgs = _images(3, rng)
+    questions = [f"what is the color {i}" for i in range(3)]
+
+    def make(**kw):
+        p = ViltVqaPredictor(
+            model, None, "t", tok, label2ans, batch_size=8,
+            canvas=TINY_VILT.image_size, max_text_len=TINY_VILT.max_text_len, **kw,
+        )
+        batch = p._preprocess(imgs[:2], questions[:2])
+        p._params = init_vilt_params(model, jax.random.PRNGKey(0), batch)
+        return p
+
+    full = make().predict(imgs, questions, top_k=3)
+    bucketed = make(batch_buckets=(1, 4)).predict(imgs, questions, top_k=3)
+    for rf, rb in zip(full, bucketed):
+        assert [a for a, _ in rf] == [a for a, _ in rb]
+        np.testing.assert_allclose(
+            [p for _, p in rf], [p for _, p in rb], rtol=1e-5, atol=1e-6
+        )
+    # single request routes through the B=1 bucket
+    one = make(batch_buckets=(1,)).predict(imgs[:1], questions[:1], top_k=2)
+    assert [a for a, _ in one[0]] == [a for a, _ in full[0][:2]]
