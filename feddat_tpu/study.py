@@ -147,6 +147,119 @@ class HeterogeneousVQAClient:
             }
 
 
+@dataclasses.dataclass
+class HeterogeneousAlbefClient:
+    """ALBEF-family variant of :class:`HeterogeneousVQAClient`: the same
+    shared/personal concept split, expressed as answer-ranking batches over
+    a dense answer bank (8 shared + 3 personal answers, each a distinct
+    token sequence).  Question token 1 announces the concept."""
+
+    task_key: str
+    client_idx: int
+    num_train: int = 128
+    num_eval: int = 64
+    vocab_size: int = 30522
+    question_len: int = 25
+    answer_len: int = 10
+    image_size: Tuple[int, int] = (384, 384)
+    batch_size: int = 16
+    val_batch_size: int = 16
+    seed: int = 0
+    personal_fraction: float = 0.5
+    pad_token_id: int = 0
+    bos_token_id: int = 1
+
+    def __post_init__(self):
+        rng = np.random.RandomState(self.seed * 997 + self.client_idx)
+        n = self.num_train + self.num_eval
+        H, W = self.image_size
+        bank = K_SHARED + 3
+        self.brightness_threshold = 0.35 + 0.1 * self.client_idx
+        # answer bank: answer a = [BOS, 2+a, 3+a] (distinct 2-token bodies)
+        self.answer_ids = np.zeros((bank, self.answer_len), np.int32)
+        self.answer_mask = np.zeros((bank, self.answer_len), np.int32)
+        for a in range(bank):
+            self.answer_ids[a, :3] = [self.bos_token_id, 2 + a, 3 + a]
+            self.answer_mask[a, :3] = 1
+
+        is_personal = rng.rand(n) < self.personal_fraction
+        # concept tokens live above the answer-token range
+        concept_base = 2 + bank + 4
+        self.question_ids = rng.randint(
+            concept_base + K_SHARED + 2, max(self.vocab_size, concept_base + K_SHARED + 8),
+            size=(n, self.question_len),
+        ).astype(np.int32)
+        self.question_ids = np.minimum(self.question_ids, self.vocab_size - 1)
+        self.question_ids[:, 0] = self.bos_token_id
+        self.question_mask = np.ones((n, self.question_len), np.int32)
+
+        gt = np.zeros(n, np.int64)
+        self.pixel_values = np.empty((n, H, W, 3), np.float16)
+        shared_tokens = rng.randint(0, K_SHARED, size=n)
+        dominant = rng.randint(0, 3, size=n)
+        brightness = rng.uniform(0.1, 0.9, size=n)
+        for i in range(n):
+            img = rng.randn(H, W, 3).astype(np.float32) * 0.05 + brightness[i]
+            if is_personal[i]:
+                self.question_ids[i, 1] = concept_base
+                img[..., dominant[i]] += 1.0
+                rot = 1 if brightness[i] > self.brightness_threshold else 0
+                gt[i] = K_SHARED + (dominant[i] + rot) % 3
+            else:
+                self.question_ids[i, 1] = concept_base + 1 + shared_tokens[i]
+                gt[i] = shared_tokens[i]
+            self.pixel_values[i] = img
+        self.gt = gt
+
+    @property
+    def num_train_examples(self) -> int:
+        return self.num_train
+
+    @property
+    def num_eval_examples(self) -> int:
+        return self.num_eval
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return self.num_train // self.batch_size
+
+    def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed * 1000 + epoch)
+        idx = rng.permutation(self.num_train)
+        La = self.answer_len
+        for s in range(self.steps_per_epoch):
+            sel = idx[s * self.batch_size : (s + 1) * self.batch_size]
+            B = len(sel)
+            ans_ids = np.zeros((B, 1, La), np.int32)
+            ans_mask = np.zeros((B, 1, La), np.int32)
+            for i, j in enumerate(sel):
+                ans_ids[i, 0] = self.answer_ids[self.gt[j]]
+                ans_mask[i, 0] = self.answer_mask[self.gt[j]]
+            yield {
+                "pixel_values": self.pixel_values[sel].astype(np.float32),
+                "question_ids": self.question_ids[sel],
+                "question_mask": self.question_mask[sel],
+                "answer_ids": ans_ids,
+                "answer_mask": ans_mask,
+                "answer_weights": np.ones((B, 1), np.float32),
+            }
+
+    def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        start, n, bs = self.num_train, self.num_eval, self.val_batch_size
+        for s in range(0, n, bs):
+            sel = np.arange(start + s, start + min(s + bs, n))
+            pad = bs - len(sel)
+            valid = np.concatenate([np.ones(len(sel)), np.zeros(pad)]).astype(np.float32)
+            sel = np.concatenate([sel, np.full(pad, start, dtype=sel.dtype)])
+            yield {
+                "pixel_values": self.pixel_values[sel].astype(np.float32),
+                "question_ids": self.question_ids[sel],
+                "question_mask": self.question_mask[sel],
+                "gt_labels": self.gt[sel][:, None],
+                "valid": valid,
+            }
+
+
 def _study_model(mode, full_scale: bool, num_clients: int):
     import jax.numpy as jnp
 
@@ -176,6 +289,36 @@ def _study_model(mode, full_scale: bool, num_clients: int):
     return model, cfg
 
 
+def _study_albef_model(mode, full_scale: bool):
+    import jax.numpy as jnp
+
+    from feddat_tpu.configs.core import (
+        AlbefBertConfig,
+        AlbefModelConfig,
+        adapter_spec_for_mode,
+    )
+    from feddat_tpu.models.albef import AlbefModel
+
+    spec = adapter_spec_for_mode(mode)
+    if full_scale:
+        cfg = AlbefModelConfig(
+            adapter=spec,
+            remat=True,
+            remat_policy="block_save_nox",
+            attention_logits_dtype="bfloat16",
+            fuse_ln=True,
+        )
+        return AlbefModel(cfg, dtype=jnp.bfloat16, vision_attn_impl="block"), cfg
+    cfg = AlbefModelConfig(
+        image_res=32, patch_size=16, vision_width=32, vision_layers=2, vision_heads=4,
+        bert=AlbefBertConfig(vocab_size=64, hidden_size=32, num_layers=4, num_heads=4,
+                             intermediate_size=64, fusion_layer=2),
+        decoder_layers=2, max_question_len=8, max_answer_len=6,
+        adapter=spec,
+    )
+    return AlbefModel(cfg, dtype=jnp.float32), cfg
+
+
 def run_study(
     modes: Sequence[str] = ("none", "adapter", "dat"),
     seeds: Sequence[int] = (0, 1, 2),
@@ -184,12 +327,14 @@ def run_study(
     full_scale: bool | None = None,
     lr: float = 5e-3,
     out_dir: str | None = None,
+    family: str = "vilt",
 ) -> Dict[str, Dict]:
     """-> {mode: {"table": mean±std per task, "histories": [...]}}.
 
-    ``full_scale=None`` auto-selects: real ViLT-B/32 shapes on TPU, tiny
-    shapes elsewhere.  Data is PAIRED across modes (same seed -> identical
-    clients), so mode deltas are not data noise.
+    ``full_scale=None`` auto-selects: real model shapes on TPU, tiny shapes
+    elsewhere.  Data is PAIRED across modes (same seed -> identical
+    clients), so mode deltas are not data noise.  ``family``: 'vilt'
+    (classification VQA) or 'albef' (answer-ranking VQA).
     """
     import json
     import os
@@ -203,9 +348,10 @@ def run_study(
         TrainConfig,
     )
     from feddat_tpu.federated.engine import FederatedTrainer
-    from feddat_tpu.models.vilt import init_vilt_params
     from feddat_tpu.utils.results import mean_std_table
 
+    if family not in ("vilt", "albef"):
+        raise ValueError(f"unknown family {family!r}")
     if full_scale is None:
         full_scale = jax.devices()[0].platform == "tpu"
 
@@ -214,26 +360,12 @@ def run_study(
         mode = PEFTMode(mode_name)
         histories: List[List[dict]] = []
         for seed in seeds:
-            if full_scale:
-                clients = {
-                    f"client_{i}": HeterogeneousVQAClient(
-                        task_key=f"client_{i}", client_idx=i, seed=seed
-                    )
-                    for i in range(num_clients)
-                }
-            else:
-                clients = {
-                    f"client_{i}": HeterogeneousVQAClient(
-                        task_key=f"client_{i}", client_idx=i, seed=seed,
-                        num_train=32, num_eval=16, vocab_size=64, text_len=8,
-                        image_size=(32, 32), batch_size=8, val_batch_size=8,
-                    )
-                    for i in range(num_clients)
-                }
-            model, _cfg = _study_model(mode, full_scale, num_clients)
-            batch = next(iter(clients.values())).train_batches(0).__next__()
-            params = init_vilt_params(model, jax.random.PRNGKey(seed), batch)
+            clients = _make_clients(family, full_scale, num_clients, seed)
+            model, params, engine_kw = _build_family(
+                family, mode, full_scale, num_clients, clients, seed
+            )
             cfg = TrainConfig(
+                encoder_name="albef_no_distill" if family == "albef" else "vilt",
                 peft_mode=mode,
                 optimizer=OptimizerConfig(lr=lr),
                 federated=FederatedConfig(
@@ -243,13 +375,18 @@ def run_study(
                 dtype="bfloat16" if full_scale else "float32",
                 seed=seed,
             )
-            trainer = FederatedTrainer(model, params, clients, cfg)
+            trainer = FederatedTrainer(model, params, clients, cfg, **engine_kw)
             history = trainer.run(resume=False)
             histories.append(history)
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)
                 with open(
-                    os.path.join(out_dir, f"{mode_name}_seed{seed}.history.json"), "w"
+                    os.path.join(
+                        out_dir,
+                        f"{family + '_' if family != 'vilt' else ''}"
+                        f"{mode_name}_seed{seed}.history.json",
+                    ),
+                    "w",
                 ) as f:
                     json.dump(history, f)
         results[mode_name] = {
@@ -257,6 +394,70 @@ def run_study(
             "histories": histories,
         }
     return results
+
+
+def _make_clients(family: str, full_scale: bool, num_clients: int, seed: int):
+    if family == "vilt":
+        if full_scale:
+            return {
+                f"client_{i}": HeterogeneousVQAClient(
+                    task_key=f"client_{i}", client_idx=i, seed=seed
+                )
+                for i in range(num_clients)
+            }
+        return {
+            f"client_{i}": HeterogeneousVQAClient(
+                task_key=f"client_{i}", client_idx=i, seed=seed,
+                num_train=32, num_eval=16, vocab_size=64, text_len=8,
+                image_size=(32, 32), batch_size=8, val_batch_size=8,
+            )
+            for i in range(num_clients)
+        }
+    if full_scale:
+        return {
+            f"client_{i}": HeterogeneousAlbefClient(
+                task_key=f"client_{i}", client_idx=i, seed=seed
+            )
+            for i in range(num_clients)
+        }
+    return {
+        f"client_{i}": HeterogeneousAlbefClient(
+            task_key=f"client_{i}", client_idx=i, seed=seed,
+            num_train=16, num_eval=8, vocab_size=64, question_len=8,
+            answer_len=6, image_size=(32, 32), batch_size=4, val_batch_size=4,
+        )
+        for i in range(num_clients)
+    }
+
+
+def _build_family(family, mode, full_scale, num_clients, clients, seed):
+    """-> (model, params, FederatedTrainer kwargs) for the study family."""
+    import jax
+
+    if family == "vilt":
+        from feddat_tpu.models.vilt import init_vilt_params
+
+        model, _cfg = _study_model(mode, full_scale, num_clients)
+        batch = next(iter(clients.values())).train_batches(0).__next__()
+        params = init_vilt_params(model, jax.random.PRNGKey(seed), batch)
+        return model, params, {}
+
+    from feddat_tpu.models.albef import init_albef_params
+    from feddat_tpu.train.evaluation import make_albef_eval_step
+    from feddat_tpu.train.forwards import make_albef_forward
+
+    model, _cfg = _study_albef_model(mode, full_scale)
+    batch = next(iter(clients.values())).train_batches(0).__next__()
+    params = init_albef_params(model, jax.random.PRNGKey(seed), batch)
+
+    def make_forward(mdl, task_key):
+        return make_albef_forward(mdl)
+
+    def make_eval(mdl, task_key):
+        c = clients[task_key]
+        return make_albef_eval_step(mdl, c.answer_ids, c.answer_mask, k=4)
+
+    return model, params, {"make_forward": make_forward, "make_eval": make_eval}
 
 
 def format_study(results: Dict[str, Dict]) -> str:

@@ -17,6 +17,7 @@ import sys
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("accuracy_study")
     p.add_argument("--modes", default="none,adapter,dat")
+    p.add_argument("--family", default="vilt", choices=["vilt", "albef"])
     p.add_argument("--seeds", default="0,1,2")
     p.add_argument("--rounds", type=int, default=8)
     p.add_argument("--clients", type=int, default=4)
@@ -39,6 +40,7 @@ def main(argv=None) -> int:
         full_scale=False if args.smoke else None,
         lr=args.lr,
         out_dir=args.out,
+        family=args.family,
     )
     print(format_study(results))
     print(json.dumps({m: r["table"] for m, r in results.items()}))

@@ -56,3 +56,26 @@ def test_run_study_smoke_dat():
     hist = results["dat"]["histories"][0]
     assert len(hist[-1]["scores"]["client_0"]) == 3
     assert format_study(results).count("|") > 0
+
+
+def test_albef_client_concepts_and_run_smoke():
+    from feddat_tpu.study import HeterogeneousAlbefClient
+
+    c = HeterogeneousAlbefClient(
+        task_key="c0", client_idx=0, seed=0, num_train=16, num_eval=8,
+        vocab_size=64, question_len=8, answer_len=6, image_size=(32, 32),
+        batch_size=4, val_batch_size=4,
+    )
+    assert c.answer_ids.shape == (K_SHARED + 3, 6)
+    b = next(c.train_batches(0))
+    assert b["answer_ids"].shape == (4, 1, 6)
+    assert b["pixel_values"].dtype == np.float32
+    ev = list(c.eval_batches())
+    assert sum(int(e["valid"].sum()) for e in ev) == 8
+
+    results = run_study(
+        modes=("dat",), seeds=(0,), num_clients=2, comm_rounds=2,
+        full_scale=False, lr=5e-3, family="albef",
+    )
+    hist = results["dat"]["histories"][0]
+    assert len(hist[-1]["scores"]["client_0"]) == 3
