@@ -229,6 +229,45 @@ def test_load_vqav2_examples(tmp_path):
     assert len(convert_to_low_shot(many, 0.05)) == 5
 
 
+def test_create_vqa_labels(tmp_path):
+    """The offline ans2label builder (reference vqa_utils.py:34-48): count
+    normalized answers over BOTH annotation files, keep >= threshold,
+    first-occurrence label order, pickle consumable by load_ans2label."""
+    import pickle
+    import subprocess
+    import sys
+
+    from feddat_tpu.data.make_labels import VQAV2_ANNOTATION_FILES, create_vqa_labels
+
+    def annos(answers):
+        return {"annotations": [{"question_id": i, "multiple_choice_answer": a}
+                                for i, a in enumerate(answers)]}
+
+    # "Two" normalizes to "2"; "a red" drops the article -> merges with "red".
+    train = ["red"] * 5 + ["Two"] * 9 + ["rare"] + ["a red"] * 3
+    val = ["red"] * 1 + ["Two"] * 2
+    json.dump(annos(train), open(tmp_path / VQAV2_ANNOTATION_FILES[0], "w"))
+    json.dump(annos(val), open(tmp_path / VQAV2_ANNOTATION_FILES[1], "w"))
+
+    a2l = create_vqa_labels([str(tmp_path / n) for n in VQAV2_ANNOTATION_FILES])
+    # red: 5+3+1 = 9 kept; 2: 9+2 = 11 kept; rare: 1 dropped.
+    assert a2l == {"red": 0, "2": 1}  # first-occurrence order
+
+    # CLI entry writes a pickle that the dataset layer's loader can read.
+    rc = subprocess.run(
+        [sys.executable, "-m", "feddat_tpu.data.make_labels", str(tmp_path)],
+        capture_output=True, text=True,
+    )
+    assert rc.returncode == 0, rc.stderr
+    with open(tmp_path / "ans2label.pkl", "rb") as f:
+        assert pickle.load(f) == a2l
+
+    # threshold override
+    assert create_vqa_labels(
+        [str(tmp_path / VQAV2_ANNOTATION_FILES[0])], min_occurrences=1
+    ) == {"red": 0, "2": 1, "rare": 2}
+
+
 def test_prefetch_to_device_propagates_producer_errors():
     """A failure inside the staging thread (bad sharding, device error) must
     surface in the consumer — not masquerade as a cleanly-exhausted epoch
