@@ -3,6 +3,9 @@
 
 import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from feddat_tpu.configs.core import (
     FederatedConfig,

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 from feddat_tpu.configs.tasks import TASK_CONFIGS, TaskSpec, register_task
 
 
@@ -653,3 +655,50 @@ def test_cli_writes_serving_meta_with_checkpoints(fake_task):
     assert meta["smoke"] is True
     with _pytest.raises(ValueError, match="smoke"):
         _load_checkpoint_recipe(str(ckpt), "testtask")
+
+
+def test_cli_eval_beats_chance_on_learnable_fixture(tmp_path):
+    """Guard the EVAL protocol, not just its plumbing: on a fixture whose
+    val split reuses the train split's input->label mapping (unseen images/
+    question ids), a trained run's 3-mode DAT eval must clear 4-label chance
+    (25) by a wide margin.  A regression that scored garbage through the
+    eval path would land at chance and fail here (the reference protocol
+    this guards: ``main.py:520-558``).  Shares the driver dryrun's fixture
+    (``__graft_entry__._write_cli_fixture``) and its measured expectation
+    ([ensemble, local, shared] ~= [75, 62.5, 75] at this config)."""
+    import __graft_entry__ as ge
+
+    from feddat_tpu.cli import main
+
+    data_root, vocab_file, keys = ge._write_cli_fixture(str(tmp_path), 1)
+    try:
+        out_dir = tmp_path / "logs"
+        rc = main(
+            [
+                "--encoder_name", "vilt",
+                "--optimizer_mode", "dat",
+                "--ordered_cl_tasks", ",".join(keys),
+                "--climb_data_dir", data_root,
+                "--vocab_file", vocab_file,
+                "--output_dir", str(out_dir),
+                "--batch_size", "4",
+                "--lr", "5e-2",
+                "--comm_rounds", "96",
+                "--local_epochs", "1",
+                "--eval_every", "96",
+                "--num_epochs", "96",
+                "--dtype", "float32",
+                "--smoke",
+                "--use_fused_dat",
+            ]
+        )
+        assert rc == 0
+        histories = [p for p in os.listdir(out_dir) if p.endswith(".history.json")]
+        history = json.load(open(out_dir / histories[0]))
+        scores = history[-1]["scores"][keys[0]]
+        assert scores[0] >= 60.0 and min(scores) >= 40.0, (
+            f"eval at/near chance on a learnable fixture: {scores} (chance=25)"
+        )
+    finally:
+        for k in keys:
+            TASK_CONFIGS.pop(k, None)

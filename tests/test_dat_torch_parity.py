@@ -13,6 +13,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+pytestmark = pytest.mark.slow
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

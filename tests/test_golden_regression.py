@@ -9,6 +9,9 @@ understood cause.
 import numpy as np
 
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from feddat_tpu.configs.core import OptimizerConfig, PEFTMode
 from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params

@@ -8,6 +8,8 @@ local vocab file (no network)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 transformers = pytest.importorskip("transformers")
 
 from feddat_tpu.data.tokenizer import WordPieceTokenizer

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 from flax import traverse_util
 
+pytestmark = pytest.mark.slow
+
 from feddat_tpu.configs.core import OptimizerConfig, PEFTMode
 from feddat_tpu.models import create_model
 from feddat_tpu.models.vilt import TaskHeadSpec, init_vilt_params
