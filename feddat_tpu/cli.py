@@ -85,7 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "viltbert.py:115-120)")
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--use_fused_dat", action="store_true",
-                   help="use the single-ensemble-pass fused DAT step (exact when encoder dropout is off)")
+                   help="use the single-ensemble-pass fused DAT step (exact when encoder "
+                        "dropout is off; with live dropout the masks are threaded through — "
+                        "DAT stages 1/3 share the ensemble pass's draw, "
+                        "distribution-level-equivalence-tested)")
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing (required for large batches on TPU; "
                         "full-layer remat at per-pass B=64 is the measured v5e optimum)")

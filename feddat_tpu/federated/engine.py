@@ -202,8 +202,9 @@ class FederatedTrainer:
     def _build_fused_dat_step(model, params, task_key, part, opt_cfg, max_steps):
         """Fused DAT step (single ensemble encoder pass; see
         ``train/dat.py::make_dat_train_step_fused``).  Exact when encoder
-        dropout is off (ViLT default; ALBEF's 0.1 default triggers a
-        warning — the fused pass is deterministic)."""
+        dropout is off (ViLT default); live dropout (ALBEF/ViltBert 0.1) is
+        threaded through with fresh masks per step — the one deviation is
+        documented in ``trainers.check_fused_dropout``."""
         from feddat_tpu.peft.partition import label_params, merge, split_by_roles
         from feddat_tpu.train.dat import make_dat_train_step_fused
         from feddat_tpu.train.losses import bce_with_logits_vqa
@@ -221,15 +222,23 @@ class FederatedTrainer:
             )
             return step
 
-        check_fused_dropout(model)
+        live = check_fused_dropout(model, carries=True)
         labels = label_params(params)
         _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
 
-        def encode(p, b, mode, rng):
-            return model.apply(
-                {"params": p}, task_key, b, adapter_mode=mode, deterministic=True,
-                method=type(model).encode_single_image,
-            )
+        if live > 0.0:
+            def encode(p, b, mode, rng):
+                return model.apply(
+                    {"params": p}, task_key, b, adapter_mode=mode,
+                    deterministic=False, rngs={"dropout": rng},
+                    method=type(model).encode_single_image,
+                )
+        else:
+            def encode(p, b, mode, rng):
+                return model.apply(
+                    {"params": p}, task_key, b, adapter_mode=mode, deterministic=True,
+                    method=type(model).encode_single_image,
+                )
 
         def head_fn(h, pooled):
             return model.apply(

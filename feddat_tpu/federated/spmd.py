@@ -231,7 +231,7 @@ class SPMDFederatedTrainer:
             from feddat_tpu.train.losses import bce_with_logits_vqa
             from feddat_tpu.train.trainers import check_fused_dropout
 
-            check_fused_dropout(model)
+            live = check_fused_dropout(model, carries=True)
 
             flat_all = traverse_util.flatten_dict(params)
             head_frozen_rest = traverse_util.unflatten_dict(
@@ -242,14 +242,22 @@ class SPMDFederatedTrainer:
                 from feddat_tpu.train.trainers import albef_fused_parts
 
                 encode, head_fn, task_loss = albef_fused_parts(
-                    model, head_frozen_rest, pad_token_id
+                    model, head_frozen_rest, pad_token_id, dropout=live > 0.0
                 )
             else:
-                def encode(p, b, mode, rng):
-                    return model.apply(
-                        {"params": p}, FED_HEAD_KEY, b, adapter_mode=mode,
-                        deterministic=True, method=type(model).encode_single_image,
-                    )
+                if live > 0.0:
+                    def encode(p, b, mode, rng):
+                        return model.apply(
+                            {"params": p}, FED_HEAD_KEY, b, adapter_mode=mode,
+                            deterministic=False, rngs={"dropout": rng},
+                            method=type(model).encode_single_image,
+                        )
+                else:
+                    def encode(p, b, mode, rng):
+                        return model.apply(
+                            {"params": p}, FED_HEAD_KEY, b, adapter_mode=mode,
+                            deterministic=True, method=type(model).encode_single_image,
+                        )
 
                 def head_fn(h, pooled):
                     return model.apply(

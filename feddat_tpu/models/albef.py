@@ -55,16 +55,26 @@ def shifted_lm_loss(
     token losses per sequence).  With ``soft_labels`` [N, L-1, V]:
     ``(1-alpha)*CE + alpha * (-sum(log_softmax * soft))`` per token.
     """
-    shifted = logits[:, :-1, :].astype(jnp.float32)
+    shifted = logits[:, :-1, :]
     tgt = labels[:, 1:]
     valid = tgt != -100
     safe_tgt = jnp.where(valid, tgt, 0)
-    logp = jax.nn.log_softmax(shifted, axis=-1)
+    if soft_labels is None:
+        # CE via LSE + target-logit gather: never materializes the fp32
+        # [N, L-1, V] log-softmax tensor the old form forced through HBM
+        # (1.25 GB at the rank-answer rerank's [B*k, La, 30522] shapes —
+        # the logsumexp reduction reads the bf16 logits and the gather
+        # touches one element per row).  Same math: -logp[tgt] = lse - x.
+        lse = jax.scipy.special.logsumexp(shifted.astype(jnp.float32), axis=-1)
+        tgt_logit = jnp.take_along_axis(shifted, safe_tgt[..., None], axis=-1)[
+            ..., 0
+        ].astype(jnp.float32)
+        nll = jnp.where(valid, lse - tgt_logit, 0.0)
+        return jnp.sum(nll, axis=-1)
+    logp = jax.nn.log_softmax(shifted.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_tgt[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     ce = jnp.sum(nll, axis=-1)
-    if soft_labels is None:
-        return ce
     distill = -jnp.sum(logp * soft_labels, axis=-1)
     distill = jnp.sum(jnp.where(valid, distill, 0.0), axis=-1)
     return (1.0 - alpha) * ce + alpha * distill

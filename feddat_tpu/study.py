@@ -263,25 +263,42 @@ class HeterogeneousAlbefClient:
 def _study_model(mode, full_scale: bool, num_clients: int):
     import jax.numpy as jnp
 
-    from feddat_tpu.configs.core import ViltModelConfig, adapter_spec_for_mode
+    from feddat_tpu.configs.core import (
+        LoraSpec,
+        PEFTMode,
+        PromptSpec,
+        ViltModelConfig,
+        adapter_spec_for_mode,
+    )
     from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner
 
     spec = adapter_spec_for_mode(mode)
+    lora = LoraSpec(enabled=(mode == PEFTMode.LORA))
+    prompt = PromptSpec(enabled=(mode == PEFTMode.PROMPT))
+    # the attn-block kernel's frozen-projection contract excludes the modes
+    # that train the backbone projections (same guard as cli.py/create_model)
+    block_ok = mode not in (
+        PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA, PEFTMode.FREEZE_BOTTOM_K
+    )
     if full_scale:
         cfg = ViltModelConfig(
             adapter=spec,
+            lora=lora,
+            prompt=prompt,
             image_size=(192, 192),
             remat=True,
-            remat_policy="block_save_nox",
+            remat_policy="block_save_nox" if block_ok else "full",
             attention_logits_dtype="bfloat16",
-            fuse_ln=True,
+            fuse_ln=block_ok,
         )
-        dtype, attn_impl = jnp.bfloat16, "block"
+        dtype, attn_impl = jnp.bfloat16, ("block" if block_ok else "auto")
     else:
         cfg = ViltModelConfig(
             vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
             intermediate_size=64, max_text_len=8, image_size=(32, 32),
             patch_size=16, adapter=spec,
+            lora=dataclasses.replace(lora, rank=2),
+            prompt=dataclasses.replace(prompt, length=2, bottleneck=8),
         )
         dtype, attn_impl = jnp.float32, "auto"
     heads = {f"client_{i}": TaskHeadSpec(num_labels=NUM_LABELS) for i in range(num_clients)}

@@ -319,8 +319,13 @@ def dat_step_core_fused(
       * the backward closure for step ③'s adapter_0 gradients (new head),
     eliminating one of the three encoder forwards (~1/7 of step FLOPs).
 
-    Exact vs the reference when encoder dropout is off (ViLT's default);
-    with dropout the two ensemble passes would share one mask draw.
+    Exact vs the reference when encoder dropout is off (ViLT's default).
+    With live dropout (``encode_fn`` consuming its rng argument) the step
+    stays stochastic — d0 drives the ensemble pass, d1 the adapter_1 pass,
+    fresh draws every step — and the ONLY deviation from the reference's
+    three independent forwards is that stages ① and ③ share the single
+    ensemble pass's mask draw (distribution-level equivalence tested,
+    tests/test_dat_fused.py).
 
     Args:
       encode_fn(params, batch, adapter_mode, rng) -> pooled

@@ -80,9 +80,15 @@ def albef_fused_task_loss(pad_token_id: int = 0):
         tgt = targets[:, 1:]
         valid = tgt != -100
         safe = jnp.where(valid, tgt, 0)
-        logp = jax.nn.log_softmax(shifted_logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        nll = jnp.where(valid, nll, 0.0)
+        # CE via LSE + target-logit gather (no fp32 [N, La-1, V] log-softmax
+        # materialization; same math — see models/albef.py::shifted_lm_loss)
+        lse = jax.scipy.special.logsumexp(
+            shifted_logits.astype(jnp.float32), axis=-1
+        )
+        tgt_logit = jnp.take_along_axis(shifted_logits, safe[..., None], axis=-1)[
+            ..., 0
+        ].astype(jnp.float32)
+        nll = jnp.where(valid, lse - tgt_logit, 0.0)
         seq_loss = jnp.sum(nll, axis=-1)
         weights = batch["answer_weights"].reshape(B * A)
         return jnp.sum(weights * seq_loss) / B
@@ -90,15 +96,10 @@ def albef_fused_task_loss(pad_token_id: int = 0):
     return task_loss
 
 
-def check_fused_dropout(model) -> float:
-    """The fused/joint DAT cores run their shared encoder pass with
-    ``deterministic=True``.  When the model config carries live dropout
-    (ALBEF's reference default: hidden/attention dropout 0.1,
-    ``model_configs.py:46-47``) the fused step silently changes training
-    semantics — warn loudly.  Returns the max configured dropout rate.
-    ViLT's defaults are 0.0, so its fused step is exact."""
-    import logging
-
+def model_dropout_rate(model) -> float:
+    """Max configured dropout rate across the model config (and its nested
+    BERT config — ALBEF's reference default is hidden/attention dropout 0.1,
+    ``model_configs.py:46-47``; ViLT's defaults are 0.0)."""
     cfg = getattr(model, "cfg", None) or getattr(model, "config", None)
     rates = []
     for holder in (cfg, getattr(cfg, "bert", None)):
@@ -107,23 +108,54 @@ def check_fused_dropout(model) -> float:
         for field in ("hidden_dropout", "attention_dropout"):
             if hasattr(holder, field):
                 rates.append(float(getattr(holder, field)))
-    live = max(rates, default=0.0)
+    return max(rates, default=0.0)
+
+
+def check_fused_dropout(model, carries: bool = False) -> float:
+    """Dropout-semantics report for the fused/joint DAT cores.
+
+    ``carries=True`` (the fused step since round 4): live dropout IS threaded
+    through both encoder passes (fresh masks per step); the ONLY deviation
+    from the reference's three independent stochastic forwards
+    (``task_trainer.py:280-330``) is that DAT stages ① and ③ share the single
+    ensemble pass's mask draw — distribution-level equivalence is tested
+    (tests/test_dat_fused.py::test_albef_fused_dropout_distribution_matches_standard).
+    Logged at INFO so runs record the deviation.
+
+    ``carries=False`` (the joint step, which runs one deterministic
+    mega-batch pass): live dropout is silently DROPPED — warn loudly.
+
+    Returns the max configured dropout rate."""
+    import logging
+
+    live = model_dropout_rate(model)
     if live > 0.0:
-        logging.getLogger("feddat_tpu").warning(
-            "fused DAT step drops dropout (model config has dropout=%.2g but "
-            "the fused encoder pass is deterministic); training semantics "
-            "differ from the standard DAT step — set dropout to 0 for "
-            "exactness or use the standard step",
-            live,
-        )
+        log = logging.getLogger("feddat_tpu")
+        if carries:
+            log.info(
+                "fused DAT step carries live dropout (rate=%.2g) with fresh "
+                "masks per step; deviation from the reference's three "
+                "independent draws: DAT stages 1 and 3 share the ensemble "
+                "pass's mask (distribution-level equivalence tested)",
+                live,
+            )
+        else:
+            log.warning(
+                "joint DAT step drops dropout (model config has dropout=%.2g "
+                "but the joint mega-batch pass is deterministic); training "
+                "semantics differ from the standard DAT step — set dropout "
+                "to 0 for exactness or use the standard/fused step",
+                live,
+            )
     return live
 
 
 def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: int = 0, donate: bool = False, part=None):
     """ALBEF fused DAT step: one ensemble encoder+decoder-backbone pass per
     batch (only the ``cls`` LM head changes between DAT stages ① and ③).
-    Exact when dropout is off; ALBEF's default dropout is 0.1, so use this
-    for throughput-oriented runs or set dropout to 0 for exactness.
+    Exact when dropout is off; with live dropout (ALBEF's default 0.1) the
+    masks are threaded through both encoder passes — see
+    :func:`check_fused_dropout` for the one documented deviation.
 
     ``part``: an existing :class:`Partitioner` to reuse (the sequential
     engine passes its per-client one); default builds the SPMD 'fed' one."""
@@ -131,26 +163,37 @@ def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: i
     from feddat_tpu.peft.partition import label_params, split_by_roles
     from feddat_tpu.train.dat import Partitioner, make_dat_train_step_fused
 
-    check_fused_dropout(model)
+    live = check_fused_dropout(model, carries=True)
     if part is None:
         part = Partitioner(params, "fed", PEFTMode.DAT)
     labels = label_params(params)
     _, frozen_rest = split_by_roles(params, labels, frozenset({"head"}))
-    encode, head_fn, task_loss = albef_fused_parts(model, frozen_rest, pad_token_id)
+    encode, head_fn, task_loss = albef_fused_parts(
+        model, frozen_rest, pad_token_id, dropout=live > 0.0
+    )
     return make_dat_train_step_fused(
         encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=donate
     ), part
 
 
-def albef_fused_parts(model, frozen_rest, pad_token_id: int):
+def albef_fused_parts(model, frozen_rest, pad_token_id: int, dropout: bool = False):
     """The fused-ALBEF contract's ``(encode, head_fn, task_loss)`` trio —
     single source of truth shared by :func:`make_albef_fused_dat_step` and
     the SPMD engine's fused branch.  ``frozen_rest`` is the non-head param
-    subtree merged back around the head for ``apply_cls``."""
+    subtree merged back around the head for ``apply_cls``.
+
+    ``dropout=True`` runs the encoder passes stochastically with the step's
+    per-stage rng (the ``cls`` LM head has no dropout, so ``head_fn`` stays
+    deterministic either way)."""
     from feddat_tpu.models.albef import AlbefModel
     from feddat_tpu.peft.partition import merge
 
     def encode(p, batch, mode, rng):
+        if dropout:
+            return model.apply(
+                {"params": p}, batch, adapter_mode=mode, deterministic=False,
+                rngs={"dropout": rng}, method=AlbefModel.encode_train,
+            )
         return model.apply(
             {"params": p}, batch, adapter_mode=mode, deterministic=True,
             method=AlbefModel.encode_train,

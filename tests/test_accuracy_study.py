@@ -79,3 +79,22 @@ def test_albef_client_concepts_and_run_smoke():
     )
     hist = results["dat"]["histories"][0]
     assert len(hist[-1]["scores"]["client_0"]) == 3
+
+
+def test_run_study_smoke_peft_zoo():
+    """The PEFT baseline zoo (lora / bias / prompt) runs through the study
+    harness end-to-end at tiny shapes — the reference's experiment grid
+    covers these modes too (``main.py:132-245``); the TPU-scale rows live in
+    ACCURACY.md."""
+    results = run_study(
+        modes=("lora", "bias", "prompt"), seeds=(0,), num_clients=2,
+        comm_rounds=2, full_scale=False, lr=5e-3,
+    )
+    for mode in ("lora", "bias", "prompt"):
+        table = results[mode]["table"]
+        assert set(table) == {"client_0", "client_1", "average"}
+        hist = results[mode]["histories"][0]
+        # non-DAT modes report a single scalar eval score per task
+        score = hist[-1]["scores"]["client_0"]
+        assert isinstance(score, float)
+        assert 0.0 <= score <= 100.0

@@ -3,6 +3,7 @@ exactly, when encoder dropout is off."""
 
 import jax
 import numpy as np
+import pytest
 from flax import traverse_util
 
 from feddat_tpu.configs.core import OptimizerConfig, PEFTMode
@@ -151,11 +152,13 @@ def test_albef_fused_step_matches_standard():
         )
 
 
-def test_albef_sequential_engine_fused_routes_and_warns(caplog):
+def test_albef_sequential_engine_fused_routes_and_carries_dropout(caplog):
     """FederatedTrainer(use_fused_dat=True) with an ALBEF model must route to
-    the ALBEF fused builder (it used to hit the ViLT-only one and crash) and
-    warn when the config carries live dropout (the fused pass is
-    deterministic; reference default hidden_dropout=0.1)."""
+    the ALBEF fused builder (it used to hit the ViLT-only one and crash).
+    With live dropout (reference default 0.1) the fused step THREADS the
+    masks through (round 4) — it must log the documented stage-①/③
+    mask-sharing deviation at INFO, not the old drops-dropout warning, and
+    the run must be stochastic (nonzero dropout actually applied)."""
     import dataclasses
     import logging
 
@@ -196,13 +199,77 @@ def test_albef_sequential_engine_fused_routes_and_warns(caplog):
         c = clients[task_key]
         return make_albef_eval_step(mdl, c.answer_ids, c.answer_mask, k=4)
 
-    with caplog.at_level(logging.WARNING, logger="feddat_tpu"):
+    with caplog.at_level(logging.INFO, logger="feddat_tpu"):
         trainer = FederatedTrainer(
             model, params, clients, cfg,
             make_forward=lambda m, k: make_albef_forward(m),
             make_eval=make_eval,
             use_fused_dat=True,
         )
-    assert any("fused DAT step drops dropout" in r.message for r in caplog.records)
+    assert any("carries live dropout" in r.message for r in caplog.records)
+    assert not any("drops dropout" in r.message for r in caplog.records)
     history = trainer.run()
     assert history and all(len(v) == 3 for v in history[-1]["scores"].values())
+
+
+@pytest.mark.slow
+def test_albef_fused_dropout_distribution_matches_standard():
+    """With live dropout the fused step cannot be bitwise-exact vs the
+    standard step (three independent mask draws there; here stages ① and ③
+    share the ensemble pass's draw).  The claim to hold is DISTRIBUTIONAL:
+    over many rng seeds from identical init, the per-step losses of the two
+    steps must have matching means (within pooled standard error), and both
+    must actually be stochastic (dropout live).  Reference sequence:
+    ``task_trainer.py:280-330``."""
+    import dataclasses
+
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from feddat_tpu.train.dat import make_dat_train_step
+    from feddat_tpu.train.forwards import make_albef_forward
+    from feddat_tpu.train.trainers import make_albef_fused_dat_step
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    cfg = dataclasses.replace(
+        TINY_ALBEF,
+        bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.3, attention_dropout=0.3),
+    )
+    client = SyntheticAlbefClient(
+        task_key="c", num_train=8, num_eval=4, num_answers=8, vocab_size=64,
+        question_len=6, answer_len=4, image_size=(32, 32), batch_size=4, seed=0,
+    )
+    model = AlbefModel(cfg)
+    batch = next(client.train_batches(0))
+    params = init_albef_params(model, jax.random.PRNGKey(0), batch)
+
+    part = Partitioner(params, "fed", PEFTMode.DAT)
+    std_step = make_dat_train_step(
+        make_albef_forward(model), part, OPT, max_steps=100, donate=False
+    )
+    fused_step, part_f = make_albef_fused_dat_step(model, params, OPT, max_steps=100)
+
+    N = 32
+    losses = {"std": [], "fused": []}
+    for name, step, p in (("std", std_step, part), ("fused", fused_step, part_f)):
+        for seed in range(N):
+            state = init_train_state(params, p, OPT, jax.random.PRNGKey(100 + seed))
+            state, m1 = step(state, batch)
+            _, m2 = step(state, batch)
+            losses[name].append(
+                (float(m1["loss"]), float(m1["loss_shared"]),
+                 float(m2["loss"]), float(m2["loss_shared"]))
+            )
+    std = np.array(losses["std"])
+    fused = np.array(losses["fused"])
+    # both stochastic: seed changes the loss (dropout is actually live)
+    assert std.std(axis=0).min() > 1e-6
+    assert fused.std(axis=0).min() > 1e-6
+    # distribution-level equivalence: means within 4 pooled standard errors
+    # per tracked loss (stage-③ and stage-② losses, steps 1 and 2)
+    se = np.sqrt((std.var(axis=0) + fused.var(axis=0)) / N)
+    diff = np.abs(std.mean(axis=0) - fused.mean(axis=0))
+    assert (diff < 4 * se + 1e-7).all(), (
+        f"fused-with-dropout loss means diverge from standard: diff={diff}, "
+        f"4*se={4 * se}, std_means={std.mean(axis=0)}, "
+        f"fused_means={fused.mean(axis=0)}"
+    )

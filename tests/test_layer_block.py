@@ -1,0 +1,155 @@
+"""Whole-layer backward kernel (ops/layer_block.py) == the composable
+PreLNLayer path: forward equality and gradient parity (x + adapter params),
+in fp32 interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from feddat_tpu.configs.core import AdapterSpec
+from feddat_tpu.models.layers import PreLNLayer
+from feddat_tpu.ops.layer_block import layer_block
+
+D, H, F, S, B = 64, 4, 128, 24, 3
+RF = 4  # bottleneck = 16
+EPS = 1e-12
+
+
+def _setup(names=("adapter_0", "adapter_1", "adapter_2")):
+    spec = AdapterSpec(names=names, reduction_factor=RF)
+    layer = PreLNLayer(
+        hidden_size=D, num_heads=H, intermediate_size=F, adapter=spec,
+        layer_norm_eps=EPS, attn_impl="auto",
+    )
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, S, D).astype(np.float32) * 0.3
+    bias = np.zeros((B, 1, 1, S), np.float32)
+    bias[0, :, :, -3:] = -1e9  # one row with padding
+    params = layer.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(bias),
+        adapter_mode="init_all",
+    )["params"]
+    # non-trivial LN params so the frozen-LN backward is actually exercised
+    flat = traverse_util.flatten_dict(params)
+    for k in list(flat):
+        if k[-2] in ("norm_before", "norm_after") or "scale" in k[-1]:
+            key = jax.random.PRNGKey(hash(k) % (2**31))
+            flat[k] = flat[k] + 0.1 * jax.random.normal(key, flat[k].shape)
+    params = traverse_util.unflatten_dict(flat)
+    return layer, params, jnp.asarray(x), jnp.asarray(bias)
+
+
+def _kernel_args(params, mode):
+    """Extract layer_block's argument list from a PreLNLayer param tree."""
+    p = params
+    att = p["attention"]
+    wq, bq = att["query"]["dense"]["kernel"], att["query"]["dense"]["bias"]
+    wk, bk = att["key"]["kernel"], att["key"]["bias"]
+    wv, bv = att["value"]["dense"]["kernel"], att["value"]["dense"]["bias"]
+    wo, bo = att["out"]["kernel"], att["out"]["bias"]
+    bqkv = jnp.stack([bq, bk, bv]).astype(jnp.float32)
+    gb1 = jnp.stack([p["norm_before"]["scale"], p["norm_before"]["bias"]]).astype(jnp.float32)
+    gb2 = jnp.stack([p["norm_after"]["scale"], p["norm_after"]["bias"]]).astype(jnp.float32)
+    w1, b1 = p["mlp"]["intermediate"]["kernel"], p["mlp"]["intermediate"]["bias"]
+    w2, b2 = p["mlp"]["output"]["kernel"], p["mlp"]["output"]["bias"]
+    ad = p["adapter"]
+
+    def quad(name):
+        return (
+            ad[f"{name}_down"]["kernel"], ad[f"{name}_down"]["bias"][None, :].astype(jnp.float32),
+            ad[f"{name}_up"]["kernel"], ad[f"{name}_up"]["bias"][None, :].astype(jnp.float32),
+        )
+
+    if mode == "ensemble":
+        a_name, b_name = "adapter_0", "adapter_2"
+        w_a = w_b = 0.5
+        use_b = True
+    else:
+        a_name, b_name = mode, mode
+        w_a, w_b = 1.0, 0.0
+        use_b = False
+    wda, bda, wua, bua = quad(a_name)
+    wdb, bdb, wub, bub = quad(b_name)
+    return (
+        (wq, wk, wv, wo, bqkv, bo[None, :].astype(jnp.float32), gb1, gb2,
+         w1, b1[None, :].astype(jnp.float32), w2, b2[None, :].astype(jnp.float32),
+         wda, bda, wua, bua, wdb, bdb, wub, bub),
+        (w_a, w_b, use_b),
+        a_name,
+    )
+
+
+def _run_kernel(params, x, bias, mode):
+    weights, (w_a, w_b, use_b), a_name = _kernel_args(params, mode)
+    return layer_block(
+        x, *weights, bias,
+        H, None, EPS, EPS, w_a, w_b, use_b, 1, True,  # interpret
+    ), a_name
+
+
+def test_layer_block_forward_matches_composable():
+    layer, params, x, bias = _setup()
+    for mode in ("ensemble", "adapter_1"):
+        ref = layer.apply({"params": params}, x, bias, adapter_mode=mode)
+        out, _ = _run_kernel(params, x, bias, mode)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_layer_block_grads_match_autodiff():
+    layer, params, x, bias = _setup()
+    gw = np.random.RandomState(1).randn(B, S, D).astype(np.float32)
+
+    for mode in ("ensemble", "adapter_1"):
+        weights, (w_a, w_b, use_b), a_name = _kernel_args(params, mode)
+
+        def loss_ref(x_, pa):
+            p2 = jax.tree_util.tree_map(lambda t: t, params)
+            p2 = dict(p2)
+            ad = dict(p2["adapter"])
+            ad[f"{a_name}_down"] = {"kernel": pa[0], "bias": pa[1]}
+            ad[f"{a_name}_up"] = {"kernel": pa[2], "bias": pa[3]}
+            p2["adapter"] = ad
+            out = layer.apply({"params": p2}, x_, bias, adapter_mode=mode)
+            return jnp.sum(out * gw)
+
+        pa0 = (
+            params["adapter"][f"{a_name}_down"]["kernel"],
+            params["adapter"][f"{a_name}_down"]["bias"],
+            params["adapter"][f"{a_name}_up"]["kernel"],
+            params["adapter"][f"{a_name}_up"]["bias"],
+        )
+        gx_ref, gpa_ref = jax.grad(loss_ref, argnums=(0, 1))(x, pa0)
+
+        def loss_k(x_, wda, bda, wua, bua):
+            w = list(weights)
+            w[12], w[13], w[14], w[15] = wda, bda, wua, bua
+            out = layer_block(x_, *w, bias, H, None, EPS, EPS, w_a, w_b, use_b, 1, True)
+            return jnp.sum(out * gw)
+
+        gx, gwda, gbda, gwua, gbua = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(
+            x, weights[12], weights[13], weights[14], weights[15]
+        )
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gwda), np.asarray(gpa_ref[0]), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gbda[0]), np.asarray(gpa_ref[1]), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gwua), np.asarray(gpa_ref[2]), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gbua[0]), np.asarray(gpa_ref[3]), rtol=2e-4, atol=2e-5)
+
+
+def test_layer_block_frozen_partner_gets_zero_grads():
+    """The ensemble's second member (DAT's frozen adapter_2 teacher) and the
+    backbone weights must receive exactly-zero cotangents."""
+    layer, params, x, bias = _setup()
+    weights, (w_a, w_b, use_b), _ = _kernel_args(params, "ensemble")
+    gw = np.random.RandomState(2).randn(B, S, D).astype(np.float32)
+
+    def loss(wq, wdb):
+        w = list(weights)
+        w[0], w[16] = wq, wdb
+        out = layer_block(x, *w, bias, H, None, EPS, EPS, w_a, w_b, use_b, 1, True)
+        return jnp.sum(out * gw)
+
+    gq, gdb = jax.grad(loss, argnums=(0, 1))(weights[0], weights[16])
+    assert float(jnp.abs(gq).max()) == 0.0
+    assert float(jnp.abs(gdb).max()) == 0.0
