@@ -11,7 +11,10 @@ tiny shapes (same code path).  See ``feddat_tpu/study.py`` for the design.
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
