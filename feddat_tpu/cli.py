@@ -98,11 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="remat granularity (PERF.md documents the measured trade-offs; "
                         "block_save_nox pairs with --attn_impl block: +8%% on v5e)")
     p.add_argument("--attn_impl", default="auto",
-                   choices=["auto", "xla", "fused", "flash", "block"],
+                   choices=["auto", "xla", "fused", "flash", "block", "layer"],
                    help="attention kernel: auto/xla (XLA fused), fused (Pallas "
                         "short-seq), flash (Pallas long-seq), block (Pallas "
                         "whole-attention-block incl. frozen q/k/v/out projections "
-                        "— DAT/adapter/prompt modes only, see ops/attn_block.py)")
+                        "— DAT/adapter/prompt modes only, see ops/attn_block.py), "
+                        "layer (Pallas whole-LAYER backward: frozen backbone + "
+                        "real adapter grads in one kernel, no remat needed — "
+                        "DAT/adapter modes, see ops/layer_block.py)")
     p.add_argument("--attention_logits_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="storage dtype of attention logits; default float32 "
@@ -345,7 +348,7 @@ def apply_tp_arg_guards(args) -> None:
             "of this process's devices) or use --engine spmd --multihost "
             "without --tp."
         )
-    if args.attn_impl in ("block", "flash", "fused"):
+    if args.attn_impl in ("block", "flash", "fused", "layer"):
         print(
             f"[feddat_tpu] --attn_impl {args.attn_impl} is a Pallas custom "
             "call and does not partition over the model axis; falling back "
@@ -382,24 +385,34 @@ def main(argv=None) -> int:
 
     task_keys = resolve_task_keys(args.ordered_cl_tasks)
     mode = PEFTMode(args.optimizer_mode)
-    if args.attn_impl == "block" and mode in (
+    frozen_kernel_conflict = args.attn_impl in ("block", "layer") and mode in (
         PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA, PEFTMode.FREEZE_BOTTOM_K
-    ):
+    )
+    # the whole-layer kernel additionally freezes the LayerNorms/FFN
+    if args.attn_impl == "layer" and mode == PEFTMode.NORM:
+        frozen_kernel_conflict = True
+    if frozen_kernel_conflict:
         # create_model rejects this combination outright (frozen-projection
         # kernel vs a mode that trains the projections); for training runs
         # surface the conflict, for eval-only runs fall back gracefully.
         if args.do_train:
             raise SystemExit(
-                "--attn_impl block assumes frozen attention projections; "
-                f"--optimizer_mode {mode.value} trains them (its gradients would "
-                "silently be zero).  Use --attn_impl auto for this mode."
+                f"--attn_impl {args.attn_impl} assumes a frozen backbone; "
+                f"--optimizer_mode {mode.value} trains part of it (its gradients "
+                "would silently be zero).  Use --attn_impl auto for this mode."
             )
         print(
-            f"[feddat_tpu] --attn_impl block is incompatible with "
+            f"[feddat_tpu] --attn_impl {args.attn_impl} is incompatible with "
             f"--optimizer_mode {mode.value}; falling back to 'auto' for this "
             "eval-only run", file=sys.stderr,
         )
         args.attn_impl = "auto"
+    if args.attn_impl == "layer" and args.remat:
+        print(
+            "[feddat_tpu] --attn_impl layer: the ViLT layer stack saves its "
+            "own minimal residual set (--remat is ignored for the stack)",
+            file=sys.stderr,
+        )
     apply_tp_arg_guards(args)
     config = TrainConfig(
         encoder_name=args.encoder_name,

@@ -55,13 +55,20 @@ def create_model(
     # ``not lora.enabled``) but is rejected too for a clear error.  Eval-only
     # users of these modes should pass attn_impl='auto' (the CLI downgrades
     # for them automatically).
-    if attn_impl == "block" and peft_mode in (
+    if attn_impl in ("block", "layer") and peft_mode in (
         PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA, PEFTMode.FREEZE_BOTTOM_K
     ):
         raise ValueError(
-            "attn_impl='block' assumes frozen attention projections; "
+            f"attn_impl={attn_impl!r} assumes frozen attention projections; "
             f"peft_mode={peft_mode.value!r} trains them (their gradients would "
             "silently be zero).  Use attn_impl='auto' for this mode."
+        )
+    # 'layer' (whole-layer kernel, ops/layer_block.py) additionally freezes
+    # the LayerNorms and FFN; 'norm' would silently get zero LN gradients.
+    if attn_impl == "layer" and peft_mode == PEFTMode.NORM:
+        raise ValueError(
+            "attn_impl='layer' fuses the (frozen) LayerNorms into the kernel; "
+            "peft_mode='norm' trains them.  Use attn_impl='auto' or 'block'."
         )
     adapter = adapter_spec_for_mode(peft_mode, adapter_reduction_factor)
     lora = LoraSpec(enabled=(peft_mode == PEFTMode.LORA if lora_enabled is None else lora_enabled))
@@ -106,7 +113,11 @@ def create_model(
         # 'block' on ALBEF targets the ViT tower (S=577, the FLOP-dominant
         # stack); the text/fusion/decoder towers keep the XLA path (their
         # training dropout and causal/cross biases fall back anyway).
-        if attn_impl == "block":
+        if attn_impl in ("block", "layer"):
+            # 'layer' downgrades to 'block' here: the ViT tower's S=577
+            # exceeds the whole-layer kernel's fused-LN VMEM regime (the
+            # per-layer gate would fall back anyway, but without the remat
+            # wrap — so keep the proven block+remat path for ALBEF).
             return AlbefModel(cfg, dtype=jdtype, attn_impl="auto",
                               vision_attn_impl="block"), cfg
         return AlbefModel(cfg, dtype=jdtype, attn_impl=attn_impl), cfg

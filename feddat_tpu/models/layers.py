@@ -21,7 +21,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from feddat_tpu.configs.core import AdapterSpec, LoraSpec
-from feddat_tpu.models.adapters import AdapterCell, _DenseParams
+from feddat_tpu.models.adapters import (
+    MODE_ENSEMBLE,
+    AdapterCell,
+    _DenseParams,
+    ensemble_members,
+)
 from feddat_tpu.ops.attention import dot_product_attention
 
 # torch's default ``kaiming_uniform_(a=sqrt(5))`` (used by loralib for
@@ -103,6 +108,56 @@ class _LoraDenseParams(nn.Module):
                 self.features, False, nn.initializers.zeros, name="lora_b"
             )(self.lora.rank)
         return kernel, bias, la, lb
+
+
+class _AttentionParams(nn.Module):
+    """Param-declaration twin of MultiHeadAttention's projection set (same
+    child names/shapes/inits) for the whole-layer kernel path."""
+
+    hidden_size: int
+    lora: LoraSpec
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        init = nn.initializers.normal(stddev=0.02)
+        wq, bq, _, _ = _LoraDenseParams(self.hidden_size, self.lora, init, name="query")(in_features)
+        wk, bk = _DenseParams(self.hidden_size, True, init, name="key")(in_features)
+        wv, bv, _, _ = _LoraDenseParams(self.hidden_size, self.lora, init, name="value")(in_features)
+        wo, bo = _DenseParams(self.hidden_size, True, init, name="out")(self.hidden_size)
+        bqkv = jnp.stack([bq, bk, bv]).astype(jnp.float32)
+        return wq, wk, wv, wo, bqkv, bo
+
+
+class _MlpParams(nn.Module):
+    """Param-declaration twin of :class:`Mlp` (intermediate + output Dense)."""
+
+    intermediate_size: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        init = nn.initializers.normal(stddev=0.02)
+        w1, b1 = _DenseParams(self.intermediate_size, True, init, name="intermediate")(in_features)
+        w2, b2 = _DenseParams(self.hidden_size, True, init, name="output")(self.intermediate_size)
+        return w1, b1, w2, b2
+
+
+class _AdapterParams(nn.Module):
+    """Param-declaration twin of :class:`AdapterCell` (every named adapter's
+    down/up Dense pairs, identical paths under the parent's 'adapter' scope)."""
+
+    spec: AdapterSpec
+    model_dim: int
+
+    @nn.compact
+    def __call__(self):
+        bottleneck = self.model_dim // self.spec.reduction_factor
+        out = {}
+        for name in self.spec.names:
+            wd, bd = _DenseParams(bottleneck, name=f"{name}_down")(self.model_dim)
+            wu, bu = _DenseParams(self.model_dim, name=f"{name}_up")(bottleneck)
+            out[name] = (wd, bd, wu, bu)
+        return out
 
 
 def _attn_block_eligible(attn_impl, bias, lora, dropout_rate, deterministic):
@@ -308,6 +363,90 @@ class PreLNLayer(nn.Module):
     # mode; opt-in, see ViltModelConfig.fuse_ln).
     fuse_ln: bool = False
 
+    def _layer_kernel_eligible(
+        self, bias, adapter_mode, deterministic, adapter_weights, x
+    ) -> bool:
+        """Whole-layer kernel gate: everything the attention-block kernel
+        requires, plus an enabled adapter in a mode whose gradient contract
+        the kernel implements (a single named adapter, or the fixed-weight
+        ensemble whose second member is the frozen ``adapter_2`` teacher),
+        no live hidden dropout, no per-example adapter weights, and the
+        same S cap as the fused-LN regime (the kernel always fuses LN1)."""
+        mode_ok = adapter_mode in self.adapter.names or (
+            adapter_mode == MODE_ENSEMBLE
+            and ensemble_members(self.adapter.names)[1] == "adapter_2"
+        )
+        return (
+            self.adapter.enabled
+            and mode_ok
+            and adapter_weights is None
+            and _attn_block_eligible(
+                "block", bias, self.lora, self.attention_dropout, deterministic
+            )
+            and not (self.dropout_rate > 0.0 and not deterministic)
+            and x.shape[1] <= 448
+        )
+
+    def _layer_kernel(self, x, bias, adapter_mode):
+        """Route the whole layer through ops/layer_block.py (params declared
+        via the twin modules so the tree is byte-identical to the composable
+        path's)."""
+        import os
+
+        import jax as _jax
+
+        from feddat_tpu.ops.layer_block import layer_block
+
+        in_f = x.shape[-1]
+        wq, wk, wv, wo, bqkv, bo = _AttentionParams(
+            self.hidden_size, self.lora, name="attention"
+        )(in_f)
+        ln1 = _LayerNormParams(name="norm_before")(self.hidden_size)
+        ln2 = _LayerNormParams(name="norm_after")(self.hidden_size)
+        w1, b1, w2, b2 = _MlpParams(
+            self.intermediate_size, self.hidden_size, name="mlp"
+        )(self.hidden_size)
+        quads = _AdapterParams(self.adapter, self.hidden_size, name="adapter")()
+        if adapter_mode == MODE_ENSEMBLE:
+            a_name, b_name = ensemble_members(self.adapter.names)
+            ew = self.adapter.ensemble_weight
+            w_a = ew * self.adapter.scaling
+            w_b = (1.0 - ew) * self.adapter.scaling
+            use_b = True
+        else:
+            a_name = b_name = adapter_mode
+            w_a, w_b, use_b = 1.0, 0.0, False
+        wda, bda, wua, bua = quads[a_name]
+        wdb, bdb, wub, bub = quads[b_name]
+
+        def cast(t):
+            return t.astype(self.dtype)
+
+        gb1 = jnp.stack(ln1).astype(jnp.float32)
+        gb2 = jnp.stack(ln2).astype(jnp.float32)
+        # block_b is shared by the forward attn_block call and the backward
+        # grid; the backward's VMEM working set (f32 [SP, F] FFN recompute +
+        # per-head attention bwd) is much larger than the forward's, so
+        # default to 1 (attn-block's block_b=2 win was +0.4% — negligible).
+        block_b = 1
+        if os.environ.get("FEDDAT_LAYER_BLOCK_B"):  # perf-sweep override
+            block_b = int(os.environ["FEDDAT_LAYER_BLOCK_B"])
+        return layer_block(
+            x.astype(self.dtype),
+            cast(wq), cast(wk), cast(wv), cast(wo),
+            bqkv, bo.astype(jnp.float32)[None, :], gb1, gb2,
+            cast(w1), b1.astype(jnp.float32)[None, :],
+            cast(w2), b2.astype(jnp.float32)[None, :],
+            cast(wda), bda.astype(jnp.float32)[None, :],
+            cast(wua), bua.astype(jnp.float32)[None, :],
+            cast(wdb), bdb.astype(jnp.float32)[None, :],
+            cast(wub), bub.astype(jnp.float32)[None, :],
+            bias,
+            self.num_heads, None, self.layer_norm_eps, self.layer_norm_eps,
+            float(w_a), float(w_b), use_b, block_b,
+            _jax.default_backend() == "cpu",
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -317,20 +456,29 @@ class PreLNLayer(nn.Module):
         deterministic: bool = True,
         adapter_weights: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        # 'layer' = the WHOLE-layer Pallas backward kernel
+        # (ops/layer_block.py): one fused vjp for LN1+attention+LN2+FFN+
+        # adapter with frozen-backbone/real-adapter gradients; layers that
+        # don't qualify fall back to the attention-block kernel path.
+        impl = "block" if self.attn_impl == "layer" else self.attn_impl
+        if self.attn_impl == "layer" and self._layer_kernel_eligible(
+            bias, adapter_mode, deterministic, adapter_weights, x
+        ):
+            return self._layer_kernel(x, bias, adapter_mode)
         attn = MultiHeadAttention(
             self.hidden_size,
             self.num_heads,
             dropout_rate=self.attention_dropout,
             lora=self.lora,
             dtype=self.dtype,
-            attn_impl=self.attn_impl,
+            attn_impl=impl,
             logits_dtype=self.logits_dtype,
             name="attention",
         )
         # this is a self-attention site; when the kernel is eligible and
         # fuse_ln is on, norm_before runs inside it on the PRE-norm input
         block_ok = _attn_block_eligible(
-            self.attn_impl, bias, self.lora, self.attention_dropout, deterministic
+            impl, bias, self.lora, self.attention_dropout, deterministic
         )
         # LN fusion cap (measured, PERF.md "fused-LN at S=577"): with
         # row-chunked LN temporaries + the hybrid XLA LN backward the TRAIN

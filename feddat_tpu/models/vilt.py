@@ -268,7 +268,14 @@ class ViltEncoder(nn.Module):
             @nn.compact
             def __call__(self, carry, layer_bias, layer_adapter_w):
                 layer = PreLNLayer(**layer_kwargs, name="layer")
-                if c.remat and c.remat_policy not in ("attention", "min_save"):
+                # the whole-layer kernel's custom vjp saves exactly its own
+                # minimal residual set — wrapping it in jax.checkpoint would
+                # only discard those and re-run the forward; skip remat.
+                if (
+                    c.remat
+                    and c.remat_policy not in ("attention", "min_save")
+                    and layer_kwargs["attn_impl"] != "layer"
+                ):
                     from feddat_tpu.ops.remat_policy import resolve_remat_policy
 
                     policy = resolve_remat_policy(c.remat_policy)

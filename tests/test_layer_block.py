@@ -137,6 +137,66 @@ def test_layer_block_grads_match_autodiff():
         np.testing.assert_allclose(np.asarray(gbua[0]), np.asarray(gpa_ref[3]), rtol=2e-4, atol=2e-5)
 
 
+def _setup_impl(attn_impl):
+    spec = AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=RF)
+    layer = PreLNLayer(
+        hidden_size=D, num_heads=H, intermediate_size=F, adapter=spec,
+        layer_norm_eps=EPS, attn_impl=attn_impl,
+    )
+    return layer
+
+
+def test_preln_layer_impl_param_tree_identical():
+    """attn_impl='layer' must init the exact same param tree as 'auto'
+    (paths + shapes) — converters/partitioning/jit-cache depend on it."""
+    _, params_auto, x, bias = _setup()
+    layer = _setup_impl("layer")
+    params_layer = layer.init(
+        jax.random.PRNGKey(0), x, bias, adapter_mode="init_all"
+    )["params"]
+    flat_a = traverse_util.flatten_dict(params_auto)
+    flat_l = traverse_util.flatten_dict(params_layer)
+    assert set(flat_a) == set(flat_l)
+    for k in flat_a:
+        assert flat_a[k].shape == flat_l[k].shape, k
+
+
+def test_preln_layer_impl_matches_auto():
+    """PreLNLayer(attn_impl='layer') == the composable path: forward and
+    (x + active-adapter) grads, same params, fp32 interpret on CPU."""
+    layer_auto, params, x, bias = _setup()
+    layer_k = _setup_impl("layer")
+    gw = np.random.RandomState(3).randn(B, S, D).astype(np.float32)
+
+    for mode, a_name in (("ensemble", "adapter_0"), ("adapter_1", "adapter_1")):
+
+        def loss(lyr, x_, pa):
+            p2 = dict(params)
+            ad = dict(p2["adapter"])
+            ad[f"{a_name}_down"] = {"kernel": pa[0], "bias": pa[1]}
+            ad[f"{a_name}_up"] = {"kernel": pa[2], "bias": pa[3]}
+            p2["adapter"] = ad
+            out = lyr.apply({"params": p2}, x_, bias, adapter_mode=mode)
+            return jnp.sum(out * gw), out
+
+        pa0 = (
+            params["adapter"][f"{a_name}_down"]["kernel"],
+            params["adapter"][f"{a_name}_down"]["bias"],
+            params["adapter"][f"{a_name}_up"]["kernel"],
+            params["adapter"][f"{a_name}_up"]["bias"],
+        )
+        (_, out_ref), (gx_ref, gpa_ref) = jax.value_and_grad(
+            lambda x_, pa: loss(layer_auto, x_, pa), argnums=(0, 1), has_aux=True
+        )(x, pa0)
+        (_, out_k), (gx, gpa) = jax.value_and_grad(
+            lambda x_, pa: loss(layer_k, x_, pa), argnums=(0, 1), has_aux=True
+        )(x, pa0)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-5)
+        for got, ref in zip(gpa, gpa_ref):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
 def test_layer_block_frozen_partner_gets_zero_grads():
     """The ensemble's second member (DAT's frozen adapter_2 teacher) and the
     backbone weights must receive exactly-zero cotangents."""

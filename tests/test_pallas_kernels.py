@@ -312,6 +312,59 @@ def test_vilt_block_impl_matches_auto_end_to_end():
         np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(g0[k]), rtol=1e-3, atol=1e-5)
 
 
+def test_vilt_layer_impl_matches_auto_end_to_end():
+    """ViLT forward + DAT-trainable grads: attn_impl='layer' (whole-layer
+    backward kernel) vs 'auto' on the same params."""
+    from feddat_tpu.configs.core import AdapterSpec, ViltModelConfig
+    from feddat_tpu.models.vilt import TaskHeadSpec, ViltContinualLearner, init_vilt_params
+    from feddat_tpu.peft.partition import label_params
+    from flax import traverse_util
+
+    cfg = ViltModelConfig(
+        vocab_size=500, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_text_len=12, image_size=(64, 64), patch_size=32,
+        adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=4),
+    )
+    m0 = ViltContinualLearner(cfg, {"fed": TaskHeadSpec(num_labels=7)})
+    ml = ViltContinualLearner(cfg, {"fed": TaskHeadSpec(num_labels=7)}, attn_impl="layer")
+    rng = np.random.RandomState(15)
+    batch = {
+        "input_ids": rng.randint(1, 500, size=(2, 12)).astype(np.int32),
+        "attention_mask": np.concatenate(
+            [np.ones((2, 8), np.int32), np.zeros((2, 4), np.int32)], axis=1
+        ),
+        "pixel_values": rng.randn(2, 64, 64, 3).astype(np.float32),
+    }
+    params = init_vilt_params(m0, jax.random.PRNGKey(0), batch)
+    params_l = init_vilt_params(ml, jax.random.PRNGKey(0), batch)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_l)
+
+    labels = label_params(params)
+    flat = traverse_util.flatten_dict(params)
+    flabels = traverse_util.flatten_dict(labels)
+    sub = {k: flat[k] for k, l in flabels.items() if l in ("shared", "local")}
+
+    def loss(model, s, mode):
+        full = dict(flat)
+        full.update(s)
+        _, lg = model.apply(
+            {"params": traverse_util.unflatten_dict(full)}, "fed", batch,
+            adapter_mode=mode, deterministic=True,
+        )
+        return jnp.sum(lg ** 2)
+
+    for mode in ("ensemble", "adapter_1"):
+        l0 = loss(m0, sub, mode)
+        ll = loss(ml, sub, mode)
+        np.testing.assert_allclose(float(ll), float(l0), rtol=1e-4)
+        g0 = jax.grad(lambda s: loss(m0, s, mode))(sub)
+        gl = jax.grad(lambda s: loss(ml, s, mode))(sub)
+        for k in sub:
+            np.testing.assert_allclose(
+                np.asarray(gl[k]), np.asarray(g0[k]), rtol=1e-3, atol=1e-5, err_msg=str(k)
+            )
+
+
 def test_albef_vision_block_impl_matches_auto():
     """ALBEF ViT tower with attn_impl='block' (vision only): encode_train
     losses match the composable path on the same params."""
