@@ -43,17 +43,20 @@ def _build(batch_size: int, dtype: str):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        # remat trades recompute for HBM: B=64 with remat beats B=32 without
-        # (358 vs 321 samples/s measured on v5e; B=64 without remat OOMs).
-        # Tuned bf16 config: the Pallas attention-block kernel plus the
-        # block_save_nox remat policy (the backward re-runs only LN/FFN,
-        # never the attention forward) — +8% over full remat (PERF.md).
+        # Tuned bf16 config (round 4): the whole-LAYER Pallas kernel
+        # (--attn_impl layer, ops/layer_block.py) — one fused backward per
+        # layer (adapter grads + frozen FFN/LN/attention), vjp saves its own
+        # minimal residual set so the stack runs WITHOUT remat: 580 samples/s
+        # at B=64 vs 517 for attn-block + block_save_nox at B=48 (PERF.md).
+        # The fp32 reference-config baseline keeps remat at B>8 (B=64 with
+        # remat beats B=32 without: 358 vs 321 measured on v5e).
+        tuned = dtype == "bfloat16"
         cfg = ViltModelConfig(
             adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
-            remat=(batch_size > 8),
-            remat_policy="block_save_nox" if dtype == "bfloat16" else "full",
-            attention_logits_dtype="bfloat16" if dtype == "bfloat16" else "float32",
-            fuse_ln=(dtype == "bfloat16"),
+            remat=(batch_size > 8) and not tuned,
+            remat_policy="full",
+            attention_logits_dtype="bfloat16" if tuned else "float32",
+            fuse_ln=tuned,
         )
         num_labels = 100
     else:  # CPU smoke-scale
@@ -75,7 +78,7 @@ def _build(batch_size: int, dtype: str):
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     model = ViltContinualLearner(
         cfg, {"fed": TaskHeadSpec(num_labels=num_labels)}, dtype=jdtype,
-        attn_impl="block" if (on_tpu and dtype == "bfloat16") else "auto",
+        attn_impl="layer" if (on_tpu and dtype == "bfloat16") else "auto",
     )
 
     rng = np.random.RandomState(0)
@@ -283,7 +286,7 @@ def _measure_albef_rank(batch_size: int = 16, bank: int = 100, k: int = 64,
     return batch_size * iters / dt
 
 
-def _measure_vilt_e2e(dtype: str = "bfloat16", batch_size: int = 48):
+def _measure_vilt_e2e(dtype: str = "bfloat16", batch_size: int = 64):
     """END-TO-END round throughput with the REAL host pipeline: on-disk JPEGs
     decoded + resized + normalized, questions WordPiece-tokenized per batch,
     double-buffered device staging (``prefetch_to_device``) — the exact
@@ -568,9 +571,9 @@ def main():
     )
 
     # -- ViLT (flagship metric, LAST line) ----------------------------------
-    # per-pass B=48 is the measured optimum for the attn-block + block_save
-    # config (B=64: 505, B=48: 508 samples/s)
-    tuned_bs = 48 if on_tpu else 8
+    # per-pass B=64 is the measured optimum for the whole-layer-kernel
+    # config (B=48: 569, B=64: 580, B=96: 570 samples/s — PERF.md round 4)
+    tuned_bs = 64 if on_tpu else 8
     tuned = _measure(tuned_bs, "bfloat16")
     # 50 iters: the B=2 denominator is latency-dominated and noisy at 10
     # (and still ~3% run-to-run at 30); the extra second buys stability

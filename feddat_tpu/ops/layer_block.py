@@ -74,11 +74,42 @@ def _ln_bwd_f32(dy, xhat, rstd, gamma):
 
 
 def _gelu_exact(x):
+    """Exact (erf) GELU — XLA-side only (Mosaic has no erf lowering)."""
     return 0.5 * x * (1.0 + jax.lax.erf(x / SQRT_2))
 
 
+def _erf_f32(x):
+    """f32 erf as the Eigen/XLA rational polynomial (odd-poly numerator /
+    even-poly denominator on x clamped to [-4, 4]; max abs error vs
+    ``lax.erf`` measured at 6.0e-7).  Mosaic lowers no ``erf`` primitive,
+    so the kernel carries its own — same formula XLA expands erf to on
+    backends without a native op."""
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    a = jnp.float32(-2.72614225801306e-10)
+    a = a * x2 + jnp.float32(2.77068142495902e-08)
+    a = a * x2 + jnp.float32(-2.10102402082508e-06)
+    a = a * x2 + jnp.float32(-5.69250639462346e-05)
+    a = a * x2 + jnp.float32(-7.34990630326855e-04)
+    a = a * x2 + jnp.float32(-2.95459980854025e-03)
+    a = a * x2 + jnp.float32(-1.60960333262415e-02)
+    a = a * x
+    b = jnp.float32(-1.45660718464996e-05)
+    b = b * x2 + jnp.float32(-2.13374055278905e-04)
+    b = b * x2 + jnp.float32(-1.68282697438203e-03)
+    b = b * x2 + jnp.float32(-7.37332916720468e-03)
+    b = b * x2 + jnp.float32(-1.42647390514189e-02)
+    return a / b
+
+
+def _gelu_kernel(x):
+    """In-kernel exact GELU via the erf polynomial (f32)."""
+    return 0.5 * x * (1.0 + _erf_f32(x * jnp.float32(1.0 / SQRT_2)))
+
+
 def _gelu_grad(x):
-    return 0.5 * (1.0 + jax.lax.erf(x / SQRT_2)) + x * jnp.exp(-0.5 * x * x) * INV_SQRT_2PI
+    """In-kernel d gelu/dx via the erf polynomial (f32)."""
+    return 0.5 * (1.0 + _erf_f32(x * jnp.float32(1.0 / SQRT_2))) + x * jnp.exp(-0.5 * x * x) * INV_SQRT_2PI
 
 
 def _layer_bwd_kernel(
@@ -127,7 +158,7 @@ def _layer_bwd_kernel(
             jax.lax.dot(m, w1_ref[...], preferred_element_type=jnp.float32)
             + b1_ref[...][0][None, :]
         )  # [SP, F] f32
-        ge = _gelu_exact(p1).astype(x.dtype)
+        ge = _gelu_kernel(p1).astype(x.dtype)
         f = (
             jax.lax.dot(ge, w2_ref[...], preferred_element_type=jnp.float32)
             + b2_ref[...][0][None, :]

@@ -1,11 +1,11 @@
 #!/usr/bin/env bash
 # The TPU-tuned ViLT launch (PERF.md's measured-optimal configuration):
-# batch 48 per pass, bf16 compute, the Pallas attention-block kernel
-# (--attn_impl block) with the block_save_nox remat policy (the backward
-# re-runs only LN/FFN, never the attention forward), fused DAT step, all
-# clients as one SPMD program over the (client, data) mesh.  Same training
-# semantics as scripts/train_vilt.sh (fused step exact with encoder dropout
-# off, ViLT's default).
+# batch 64 per pass, bf16 compute, the whole-LAYER Pallas kernel
+# (--attn_impl layer, ops/layer_block.py: adapter grads + the frozen
+# attention/LN/FFN backward in ONE fused vjp per layer — the stack needs
+# no remat), fused DAT step, all clients as one SPMD program over the
+# (client, data) mesh.  Same training semantics as scripts/train_vilt.sh
+# (fused step exact with encoder dropout off, ViLT's default).
 set -euo pipefail
 python -m feddat_tpu.cli \
   --encoder_name vilt \
@@ -14,8 +14,8 @@ python -m feddat_tpu.cli \
   --climb_data_dir "${DATA_DIR:-./data}" \
   --output_dir ./logs \
   --do_train \
-  --batch_size 48 \
-  --val_batch_size 48 \
+  --batch_size 64 \
+  --val_batch_size 64 \
   --lr 1e-4 \
   --comm_rounds 30 \
   --local_epochs 1 \
@@ -26,9 +26,7 @@ python -m feddat_tpu.cli \
   --ordered_cl_tasks domain \
   --engine spmd \
   --dtype bfloat16 \
-  --remat \
-  --remat_policy block_save_nox \
-  --attn_impl block \
+  --attn_impl layer \
   --cache_images \
   --device_normalize \
   --use_fused_dat \

@@ -97,13 +97,13 @@ def test_cli_smoke_end_to_end(fake_task):
     assert len(history[-1]["scores"]["testtask"]) == 3  # DAT 3-mode eval
 
 
-@pytest.mark.parametrize("attn_impl", ["auto", "block"])
+@pytest.mark.parametrize("attn_impl", ["auto", "block", "layer"])
 def test_cli_spmd_engine_smoke(fake_task, attn_impl):
     """--engine spmd from the CLI (the flagship TPU path): model built with
     the shared task_fed head, 2 clients over a (2, 2) mesh slice of the 8
     virtual CPU devices.  Parametrized over the attention impl so the Pallas
-    attention-block kernel (interpret mode on CPU) is exercised through the
-    full engine."""
+    attention-block AND whole-layer kernels (interpret mode on CPU) are
+    exercised through the full engine."""
     data_root, vocab_file, tmp_path = fake_task
     # second client reusing the same on-disk data
     key2 = "testtask2"
