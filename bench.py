@@ -181,8 +181,12 @@ def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4,
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        # Tuned bf16 config: the attn-block Pallas kernel on the ViT tower
-        # (S=577) + block_save_nox remat — 82 -> 105 samples/s (PERF.md).
+        # Tuned bf16 config (round 4): the whole-LAYER Pallas kernel on the
+        # ViT tower (S=577, all 12 blocks are eligible adapter sites; the
+        # vjp saves its own residuals so the ViT scan runs without remat)
+        # — 98.6 -> 116.4 samples/s over attn-block + block_save_nox
+        # (PERF.md).  The text/fusion/decoder towers (post-LN BERT) keep
+        # XLA attention + block_save_nox remat.
         cfg = AlbefModelConfig(
             adapter=AdapterSpec(names=("adapter_0", "adapter_1", "adapter_2"), reduction_factor=16),
             remat=True,
@@ -206,7 +210,7 @@ def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4,
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     model = AlbefModel(
         cfg, dtype=jdtype,
-        vision_attn_impl="block" if (on_tpu and dtype == "bfloat16") else None,
+        vision_attn_impl="layer" if (on_tpu and dtype == "bfloat16") else None,
     )
     rng = np.random.RandomState(0)
     B, A, Lq, La = batch_size, answers_per_q, cfg.max_question_len, cfg.max_answer_len

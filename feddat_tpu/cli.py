@@ -409,8 +409,8 @@ def main(argv=None) -> int:
         args.attn_impl = "auto"
     if args.attn_impl == "layer" and args.remat:
         print(
-            "[feddat_tpu] --attn_impl layer: the ViLT layer stack saves its "
-            "own minimal residual set (--remat is ignored for the stack)",
+            "[feddat_tpu] --attn_impl layer: the pre-LN layer stacks save "
+            "their own minimal residual set (--remat is ignored for them)",
             file=sys.stderr,
         )
     apply_tp_arg_guards(args)

@@ -110,16 +110,17 @@ def create_model(
             fuse_ln=fuse_ln,
             distill=(encoder_name == "albef_distill"),
         )
-        # 'block' on ALBEF targets the ViT tower (S=577, the FLOP-dominant
-        # stack); the text/fusion/decoder towers keep the XLA path (their
-        # training dropout and causal/cross biases fall back anyway).
+        # 'block'/'layer' on ALBEF target the ViT tower (S=577, the
+        # FLOP-dominant stack); the text/fusion/decoder towers keep the XLA
+        # path (post-LN BERT layers — the pre-LN kernels don't apply, and
+        # their training dropout / causal/cross biases fall back anyway).
+        # 'layer' routes the 12 ViT blocks (all adapter sites, dropout 0.0,
+        # S=577 <= the kernel's measured 592 cap) through the whole-layer
+        # backward kernel: 116.4 vs 98.6 samples/s on the fused DAT step
+        # (PERF.md round 4).
         if attn_impl in ("block", "layer"):
-            # 'layer' downgrades to 'block' here: the ViT tower's S=577
-            # exceeds the whole-layer kernel's fused-LN VMEM regime (the
-            # per-layer gate would fall back anyway, but without the remat
-            # wrap — so keep the proven block+remat path for ALBEF).
             return AlbefModel(cfg, dtype=jdtype, attn_impl="auto",
-                              vision_attn_impl="block"), cfg
+                              vision_attn_impl=attn_impl), cfg
         return AlbefModel(cfg, dtype=jdtype, attn_impl=attn_impl), cfg
 
     raise ValueError(

@@ -370,8 +370,13 @@ class PreLNLayer(nn.Module):
         requires, plus an enabled adapter in a mode whose gradient contract
         the kernel implements (a single named adapter, or the fixed-weight
         ensemble whose second member is the frozen ``adapter_2`` teacher),
-        no live hidden dropout, no per-example adapter weights, and the
-        same S cap as the fused-LN regime (the kernel always fuses LN1)."""
+        no live hidden dropout, no per-example adapter weights, and an S
+        cap of 592 = the largest padded length measured to compile and win
+        on v5e (ALBEF's ViT at S=577: 116.4 vs 98.6 samples/s on the fused
+        DAT step, PERF.md round 4; ``FEDDAT_LAYER_MAX_S`` overrides for
+        perf sweeps)."""
+        import os
+
         mode_ok = adapter_mode in self.adapter.names or (
             adapter_mode == MODE_ENSEMBLE
             and ensemble_members(self.adapter.names)[1] == "adapter_2"
@@ -384,7 +389,7 @@ class PreLNLayer(nn.Module):
                 "block", bias, self.lora, self.attention_dropout, deterministic
             )
             and not (self.dropout_rate > 0.0 and not deterministic)
-            and x.shape[1] <= 448
+            and x.shape[1] <= int(os.environ.get("FEDDAT_LAYER_MAX_S", "592"))
         )
 
     def _layer_kernel(self, x, bias, adapter_mode):

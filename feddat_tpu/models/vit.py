@@ -76,7 +76,9 @@ class VisionTransformer(nn.Module):
             @nn.compact
             def __call__(self, carry, _):
                 block = PreLNLayer(**layer_kwargs, name="block")
-                if use_remat:
+                # whole-layer kernel: its vjp saves its own minimal residual
+                # set — remat would only discard it (see vilt.py)
+                if use_remat and layer_kwargs["attn_impl"] != "layer":
                     from feddat_tpu.ops.remat_policy import resolve_remat_policy
 
                     # the ViT does not wire the structural attention/min_save

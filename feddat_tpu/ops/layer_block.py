@@ -54,6 +54,17 @@ from feddat_tpu.ops.attn_block import _fwd_call, _prep
 SQRT_2 = 1.4142135623730951
 INV_SQRT_2PI = 0.3989422804014327
 
+# Longest S at which the FORWARD keeps LN1 fused into the attention kernel.
+# The fused-LN forward wins only in the short-S regime (+2% at ViLT's
+# S<=281, PERF.md); at ALBEF's S=577 it measured a 21% loss in
+# forward-only programs (rank-answer eval 312 -> 248 q/s, PERF.md round 4)
+# — the kernel's in-VMEM LN serializes against the first projection matmul
+# at large SP.  Past this cap the forward computes LN1 in XLA (which
+# overlaps it with the previous layer's epilogue) and calls the plain
+# kernel; the BACKWARD is unaffected either way — it recomputes LN1 from
+# the saved pre-LN ``x`` inside the backward kernel.
+LN_FWD_FUSED_MAX_S = 448
+
 
 def _ln_fwd_f32(x, gamma, beta, eps):
     """flax nn.LayerNorm math (fast-variance form, f32 internals)."""
@@ -337,11 +348,22 @@ def _layer_fwd_impl(
     matmul inputs)."""
     if scale is None:
         scale = (x.shape[-1] // num_heads) ** -0.5
-    aout, (xp, brow, ctx, lse) = _fwd_call(
-        x, wq, wk, wv, wo, bqkv, bo, gb1, bias, num_heads, scale,
-        block_b, interpret, ln_eps1,
-    )
     dt = x.dtype
+    if x.shape[1] <= LN_FWD_FUSED_MAX_S:
+        aout, (xp, brow, ctx, lse) = _fwd_call(
+            x, wq, wk, wv, wo, bqkv, bo, gb1, bias, num_heads, scale,
+            block_b, interpret, ln_eps1,
+        )
+    else:
+        # large-S regime: LN1 in XLA, plain (non-LN) forward kernel; the
+        # residual kept for the backward is the padded PRE-LN x (the bwd
+        # kernel re-derives LN1 internally) — see LN_FWD_FUSED_MAX_S above
+        xln, _, _ = _ln_fwd_f32(x, gb1[0][None, :], gb1[1][None, :], ln_eps1)
+        aout, (_, brow, ctx, lse) = _fwd_call(
+            xln.astype(dt), wq, wk, wv, wo, bqkv, bo, None, bias, num_heads,
+            scale, block_b, interpret, None,
+        )
+        xp = _prep(x, bias, block_b)[0]
     h = x + aout
     m, _, _ = _ln_fwd_f32(h, gb2[0][None, :], gb2[1][None, :], ln_eps2)
     m = m.astype(dt)

@@ -14,6 +14,9 @@ unless stated:
   b32 / b48  larger eval batch (serving-style bucket compiles amortize this)
   text_block the text/fusion/decoder towers through the attn-block Pallas
              kernel too (eval-only => the frozen-projection contract holds)
+  vis_block  the ViT tower back on the attn-block kernel (round-4 `base`
+             is the whole-layer kernel with XLA LN1 above S=448)
+  b48_vis_block  the round-4 lever table's best combo, for comparison
 
     python scripts/rank_levers.py [--levers base,old_ce,...] [--iters 10]
 """
@@ -98,15 +101,12 @@ def main(argv=None) -> int:
     model, params, _, _, _ = _build_albef(16, "bfloat16", with_step=False)
 
     def variant(**cfg_kw):
-        kw = {}
-        if "attn_impl" in cfg_kw:
-            kw["attn_impl"] = cfg_kw.pop("attn_impl")
+        kw = {"vision_attn_impl": model.vision_attn_impl}
+        for k in ("attn_impl", "vision_attn_impl"):
+            if k in cfg_kw:
+                kw[k] = cfg_kw.pop(k)
         cfg = dataclasses.replace(model.cfg, **cfg_kw) if cfg_kw else model.cfg
-        return AlbefModel(
-            cfg, dtype=model.dtype,
-            vision_attn_impl=model.vision_attn_impl,
-            **kw,
-        )
+        return AlbefModel(cfg, dtype=model.dtype, **kw)
 
     for lever in [s.strip() for s in args.levers.split(",") if s.strip()]:
         t0 = time.time()
@@ -132,6 +132,11 @@ def main(argv=None) -> int:
             B = 48
         elif lever == "text_block":
             m = variant(attn_impl="block")
+        elif lever == "vis_block":
+            # the pre-round-4-extension ViT-tower path (attn-block kernel)
+            m = variant(vision_attn_impl="block")
+        elif lever == "b48_vis_block":
+            B, m = 48, variant(vision_attn_impl="block")
         else:
             print(f"unknown lever {lever!r}", flush=True)
             continue

@@ -1,9 +1,11 @@
 #!/usr/bin/env bash
 # The TPU-tuned ALBEF launch (PERF.md's measured-optimal configuration):
-# batch 16 per pass, bf16 compute, the Pallas attention-block kernel on the
-# ViT tower (--attn_impl block routes to vision_attn_impl for ALBEF) with
-# the block_save_nox remat policy, fused DAT step, SPMD engine.
-# 105 samples/s per v5e chip vs 82 for the round-1 config (PERF.md).
+# batch 16 per pass, bf16 compute, the whole-LAYER Pallas kernel on the
+# ViT tower (--attn_impl layer routes to vision_attn_impl for ALBEF; its
+# vjp saves its own residuals so the ViT scan skips remat) with the
+# block_save_nox remat policy on the post-LN BERT towers, fused DAT step
+# (live dropout), SPMD engine.  116 samples/s per v5e chip vs 82 for the
+# round-1 config and 99 for the round-4 block config (PERF.md).
 set -euo pipefail
 python -m feddat_tpu.cli \
   --encoder_name albef_no_distill \
@@ -25,7 +27,7 @@ python -m feddat_tpu.cli \
   --dtype bfloat16 \
   --remat \
   --remat_policy block_save_nox \
-  --attn_impl block \
+  --attn_impl layer \
   --cache_images \
   --device_normalize \
   --use_fused_dat \

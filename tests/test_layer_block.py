@@ -5,6 +5,7 @@ in fp32 interpret mode on CPU."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import traverse_util
 
 from feddat_tpu.configs.core import AdapterSpec
@@ -195,6 +196,49 @@ def test_preln_layer_impl_matches_auto():
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-5)
         for got, ref in zip(gpa, gpa_ref):
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_layer_kernel_gate_admits_albef_vit_s577():
+    """ALBEF's ViT (S=577, bias=None, dropout 0.0) must be inside the layer
+    kernel's regime (measured on v5e, PERF.md round 4); one past the 592
+    padded cap must not."""
+    layer = _setup_impl("layer")
+    x577 = jnp.zeros((1, 577, D))
+    x593 = jnp.zeros((1, 593, D))
+    assert layer._layer_kernel_eligible(None, "adapter_0", True, None, x577)
+    assert layer._layer_kernel_eligible(None, "ensemble", False, None, x577)
+    assert not layer._layer_kernel_eligible(None, "adapter_0", True, None, x593)
+
+
+@pytest.mark.slow
+def test_preln_layer_impl_matches_auto_s577():
+    """Numerics at the ALBEF-ViT shape: S=577 (pads to 592), bias=None,
+    fwd + (x, adapter) grad parity vs the composable path — the regime the
+    default `--attn_impl layer` ALBEF config runs in."""
+    layer_auto = _setup_impl("auto")
+    layer_k = _setup_impl("layer")
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 577, D).astype(np.float32) * 0.3)
+    params = layer_auto.init(
+        jax.random.PRNGKey(0), x, None, adapter_mode="init_all"
+    )["params"]
+
+    def loss(lyr, x_, p):
+        out = lyr.apply({"params": p}, x_, None, adapter_mode="ensemble")
+        return jnp.sum(out**2), out
+
+    (_, out_ref), (gx_ref, gp_ref) = jax.value_and_grad(
+        lambda x_, p: loss(layer_auto, x_, p), argnums=(0, 1), has_aux=True
+    )(x, params)
+    (_, out_k), (gx, gp) = jax.value_and_grad(
+        lambda x_, p: loss(layer_k, x_, p), argnums=(0, 1), has_aux=True
+    )(x, params)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=1e-3)
+    for name in ("adapter_0_down", "adapter_0_up"):
+        got = gp["adapter"][name]["kernel"]
+        ref = gp_ref["adapter"][name]["kernel"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=1e-3)
 
 
 def test_layer_block_frozen_partner_gets_zero_grads():
