@@ -562,7 +562,7 @@ def test_cli_rejects_block_kernel_for_backbone_training_modes():
             "--attn_impl", "block", "--ordered_cl_tasks", "clove_scene_a",
             "--do_train", "--smoke",
         ])
-    assert "frozen attention projections" in str(e.value)
+    assert "assumes a frozen backbone" in str(e.value)
 
 
 def test_create_model_rejects_block_kernel_for_backbone_training_modes():
