@@ -260,7 +260,7 @@ class HeterogeneousAlbefClient:
             }
 
 
-def _study_model(mode, full_scale: bool, num_clients: int):
+def _study_model(mode, full_scale: bool, num_clients: int, attn_impl=None):
     import jax.numpy as jnp
 
     from feddat_tpu.configs.core import (
@@ -291,7 +291,7 @@ def _study_model(mode, full_scale: bool, num_clients: int):
             attention_logits_dtype="bfloat16",
             fuse_ln=block_ok,
         )
-        dtype, attn_impl = jnp.bfloat16, ("block" if block_ok else "auto")
+        dtype, attn_impl = jnp.bfloat16, ((attn_impl or "block") if block_ok else "auto")
     else:
         cfg = ViltModelConfig(
             vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
@@ -300,13 +300,13 @@ def _study_model(mode, full_scale: bool, num_clients: int):
             lora=dataclasses.replace(lora, rank=2),
             prompt=dataclasses.replace(prompt, length=2, bottleneck=8),
         )
-        dtype, attn_impl = jnp.float32, "auto"
+        dtype, attn_impl = jnp.float32, "auto"  # tiny shapes: kernels don't apply
     heads = {f"client_{i}": TaskHeadSpec(num_labels=NUM_LABELS) for i in range(num_clients)}
     model = ViltContinualLearner(cfg, heads, dtype=dtype, attn_impl=attn_impl)
     return model, cfg
 
 
-def _study_albef_model(mode, full_scale: bool):
+def _study_albef_model(mode, full_scale: bool, attn_impl=None):
     import jax.numpy as jnp
 
     from feddat_tpu.configs.core import (
@@ -325,7 +325,8 @@ def _study_albef_model(mode, full_scale: bool):
             attention_logits_dtype="bfloat16",
             fuse_ln=True,
         )
-        return AlbefModel(cfg, dtype=jnp.bfloat16, vision_attn_impl="block"), cfg
+        return AlbefModel(cfg, dtype=jnp.bfloat16,
+                          vision_attn_impl=attn_impl or "block"), cfg
     cfg = AlbefModelConfig(
         image_res=32, patch_size=16, vision_width=32, vision_layers=2, vision_heads=4,
         bert=AlbefBertConfig(vocab_size=64, hidden_size=32, num_layers=4, num_heads=4,
@@ -345,13 +346,17 @@ def run_study(
     lr: float = 5e-3,
     out_dir: str | None = None,
     family: str = "vilt",
+    attn_impl: str | None = None,
 ) -> Dict[str, Dict]:
     """-> {mode: {"table": mean±std per task, "histories": [...]}}.
 
     ``full_scale=None`` auto-selects: real model shapes on TPU, tiny shapes
     elsewhere.  Data is PAIRED across modes (same seed -> identical
     clients), so mode deltas are not data noise.  ``family``: 'vilt'
-    (classification VQA) or 'albef' (answer-ranking VQA).
+    (classification VQA) or 'albef' (answer-ranking VQA).  ``attn_impl``
+    overrides the full-scale attention kernel for kernel-eligible modes
+    ('block' default, 'layer' = the shipped whole-layer vjp) — used to
+    validate that both kernels train to the same scores at full width.
     """
     import json
     import os
@@ -379,7 +384,8 @@ def run_study(
         for seed in seeds:
             clients = _make_clients(family, full_scale, num_clients, seed)
             model, params, engine_kw = _build_family(
-                family, mode, full_scale, num_clients, clients, seed
+                family, mode, full_scale, num_clients, clients, seed,
+                attn_impl=attn_impl,
             )
             cfg = TrainConfig(
                 encoder_name="albef_no_distill" if family == "albef" else "vilt",
@@ -447,14 +453,15 @@ def _make_clients(family: str, full_scale: bool, num_clients: int, seed: int):
     }
 
 
-def _build_family(family, mode, full_scale, num_clients, clients, seed):
+def _build_family(family, mode, full_scale, num_clients, clients, seed,
+                  attn_impl=None):
     """-> (model, params, FederatedTrainer kwargs) for the study family."""
     import jax
 
     if family == "vilt":
         from feddat_tpu.models.vilt import init_vilt_params
 
-        model, _cfg = _study_model(mode, full_scale, num_clients)
+        model, _cfg = _study_model(mode, full_scale, num_clients, attn_impl)
         batch = next(iter(clients.values())).train_batches(0).__next__()
         params = init_vilt_params(model, jax.random.PRNGKey(seed), batch)
         return model, params, {}
@@ -463,7 +470,7 @@ def _build_family(family, mode, full_scale, num_clients, clients, seed):
     from feddat_tpu.train.evaluation import make_albef_eval_step
     from feddat_tpu.train.forwards import make_albef_forward
 
-    model, _cfg = _study_albef_model(mode, full_scale)
+    model, _cfg = _study_albef_model(mode, full_scale, attn_impl)
     batch = next(iter(clients.values())).train_batches(0).__next__()
     params = init_albef_params(model, jax.random.PRNGKey(seed), batch)
 

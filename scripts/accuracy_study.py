@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--out", default=None, help="directory for per-run history JSONs")
     p.add_argument("--smoke", action="store_true", help="force tiny shapes")
+    p.add_argument("--attn_impl", default=None, choices=["block", "layer"],
+                   help="full-scale kernel for eligible modes (default block)")
     args = p.parse_args(argv)
 
     from feddat_tpu.utils.observability import enable_compilation_cache
@@ -38,6 +40,7 @@ def main(argv=None) -> int:
     results = run_study(
         modes=[m.strip() for m in args.modes.split(",") if m.strip()],
         seeds=[int(s) for s in args.seeds.split(",")],
+        attn_impl=args.attn_impl,
         num_clients=args.clients,
         comm_rounds=args.rounds,
         full_scale=False if args.smoke else None,
