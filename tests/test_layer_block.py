@@ -210,6 +210,38 @@ def test_layer_kernel_gate_admits_albef_vit_s577():
     assert not layer._layer_kernel_eligible(None, "adapter_0", True, None, x593)
 
 
+def test_preln_layer_impl_matches_auto_large_s_split():
+    """Fast-tier numerics for the large-S regime split: S=456 pads past
+    LN_FWD_FUSED_MAX_S=448, so the forward computes LN1 in XLA and calls
+    the plain kernel while the backward re-derives LN1 in-kernel from the
+    saved pre-LN x — fwd + (x, adapter) grad parity vs the composable
+    path (the S=577 ALBEF-shape variant below is the slow-tier check)."""
+    layer_auto = _setup_impl("auto")
+    layer_k = _setup_impl("layer")
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 456, D).astype(np.float32) * 0.3)
+    params = layer_auto.init(
+        jax.random.PRNGKey(0), x, None, adapter_mode="init_all"
+    )["params"]
+
+    def loss(lyr, x_, p):
+        out = lyr.apply({"params": p}, x_, None, adapter_mode="ensemble")
+        return jnp.sum(out**2), out
+
+    (_, out_ref), (gx_ref, gp_ref) = jax.value_and_grad(
+        lambda x_, p: loss(layer_auto, x_, p), argnums=(0, 1), has_aux=True
+    )(x, params)
+    (_, out_k), (gx, gp) = jax.value_and_grad(
+        lambda x_, p: loss(layer_k, x_, p), argnums=(0, 1), has_aux=True
+    )(x, params)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=1e-3)
+    for name in ("adapter_0_down", "adapter_0_up"):
+        got = gp["adapter"][name]["kernel"]
+        ref = gp_ref["adapter"][name]["kernel"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_preln_layer_impl_matches_auto_s577():
     """Numerics at the ALBEF-ViT shape: S=577 (pads to 592), bias=None,
