@@ -271,10 +271,20 @@ class ViltEncoder(nn.Module):
                 # the whole-layer kernel's custom vjp saves exactly its own
                 # minimal residual set — wrapping it in jax.checkpoint would
                 # only discard those and re-run the forward; skip remat.
+                # Eligibility is per-CALL (live dropout, weighted/per-example
+                # adapter modes, S caps): when a 'layer'-configured model
+                # falls back to the composable path at this trace, keep the
+                # configured remat instead of silently running no-remat at
+                # the kernel path's tuned batch sizes.
+                layer_kernel_live = layer_kwargs[
+                    "attn_impl"
+                ] == "layer" and layer._layer_kernel_eligible(
+                    layer_bias, adapter_mode, deterministic, layer_adapter_w, carry
+                )
                 if (
                     c.remat
                     and c.remat_policy not in ("attention", "min_save")
-                    and layer_kwargs["attn_impl"] != "layer"
+                    and not layer_kernel_live
                 ):
                     from feddat_tpu.ops.remat_policy import resolve_remat_policy
 

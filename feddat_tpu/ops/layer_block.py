@@ -357,7 +357,17 @@ def _layer_fwd_impl(
     else:
         # large-S regime: LN1 in XLA, plain (non-LN) forward kernel; the
         # residual kept for the backward is the padded PRE-LN x (the bwd
-        # kernel re-derives LN1 internally) — see LN_FWD_FUSED_MAX_S above
+        # kernel re-derives LN1 internally) — see LN_FWD_FUSED_MAX_S above.
+        # Padded-row caveat: the forward kernel sees xln zero-PADDED (pad
+        # added after LN), while the backward's in-kernel re-derivation
+        # normalizes the zero-padded x, giving xln=beta on padded rows — the
+        # recomputed q/k/v at padded positions differ from what produced the
+        # saved ctx/lse.  This is benign ONLY because (a) `brow`'s key mask
+        # is the FINITE NEG_INF (-1e9), so exp(s - lse) on padded keys stays
+        # a well-defined ~0 rather than the NaN a true -inf would give, and
+        # (b) padded-row cotangents are zero, cancelling every padded
+        # contribution to dx and the adapter grads (dx is sliced back to
+        # [:b, :s] regardless).  Keep NEG_INF finite next to this residual.
         xln, _, _ = _ln_fwd_f32(x, gb1[0][None, :], gb1[1][None, :], ln_eps1)
         aout, (_, brow, ctx, lse) = _fwd_call(
             xln.astype(dt), wq, wk, wv, wo, bqkv, bo, None, bias, num_heads,

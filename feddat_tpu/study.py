@@ -281,6 +281,12 @@ def _study_model(mode, full_scale: bool, num_clients: int, attn_impl=None):
         PEFTMode.FULL, PEFTMode.BIAS, PEFTMode.LORA, PEFTMode.FREEZE_BOTTOM_K
     )
     if full_scale:
+        # Mirror create_model's NORM guards: the fused-LN kernel assumes
+        # FROZEN LayerNorms (norm_before grads would silently vanish), and
+        # the whole-layer kernel freezes norm_after/adapter-LNs too — NORM
+        # must keep the LNs outside any kernel that owns their backward.
+        if mode == PEFTMode.NORM and attn_impl == "layer":
+            raise ValueError("attn_impl='layer' is incompatible with PEFT mode 'norm'")
         cfg = ViltModelConfig(
             adapter=spec,
             lora=lora,
@@ -289,7 +295,7 @@ def _study_model(mode, full_scale: bool, num_clients: int, attn_impl=None):
             remat=True,
             remat_policy="block_save_nox" if block_ok else "full",
             attention_logits_dtype="bfloat16",
-            fuse_ln=block_ok,
+            fuse_ln=(block_ok and mode != PEFTMode.NORM),
         )
         dtype, attn_impl = jnp.bfloat16, ((attn_impl or "block") if block_ok else "auto")
     else:
@@ -318,12 +324,18 @@ def _study_albef_model(mode, full_scale: bool, attn_impl=None):
 
     spec = adapter_spec_for_mode(mode)
     if full_scale:
+        from feddat_tpu.configs.core import PEFTMode
+
+        # same NORM guards as _study_model / create_model: trainable LNs
+        # must stay outside the fused-LN / whole-layer kernels
+        if mode == PEFTMode.NORM and attn_impl == "layer":
+            raise ValueError("attn_impl='layer' is incompatible with PEFT mode 'norm'")
         cfg = AlbefModelConfig(
             adapter=spec,
             remat=True,
             remat_policy="block_save_nox",
             attention_logits_dtype="bfloat16",
-            fuse_ln=True,
+            fuse_ln=(mode != PEFTMode.NORM),
         )
         return AlbefModel(cfg, dtype=jnp.bfloat16,
                           vision_attn_impl=attn_impl or "block"), cfg
