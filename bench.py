@@ -193,6 +193,11 @@ def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4,
             remat_policy="block_save_nox" if dtype == "bfloat16" else "full",
             attention_logits_dtype="bfloat16" if dtype == "bfloat16" else "float32",
             fuse_ln=(dtype == "bfloat16"),
+            # round 5: selective remat for the post-LN BERT towers — saves
+            # the tagged qkv (incl. the fusion layers' S=577 image K/V
+            # projections, the dominant backward recompute) /attn_probs/
+            # attn_out/ffn_preact instead of full recompute (+4%, PERF.md)
+            text_remat_policy="names" if dtype == "bfloat16" else "full",
         )
     else:  # CPU smoke-scale
         cfg = AlbefModelConfig(
@@ -231,11 +236,18 @@ def _build_albef(batch_size: int, dtype: str, answers_per_q: int = 4,
     state = init_train_state(params, part, opt, jax.random.PRNGKey(0))
     if fused is None:
         fused = dtype == "bfloat16"
+    # round 5: dropout masks from the TPU hardware RNG (XLA RngBitGenerator)
+    # instead of per-element threefry on the VPU — +7% with ALBEF's default
+    # dropout 0.1 live on 24 BERT layer-sites (PERF.md); fp32 baseline keeps
+    # the jax-default threefry.
+    d_rng = "rbg" if dtype == "bfloat16" else "threefry"
     if fused:
-        step, _ = make_albef_fused_dat_step(model, params, opt, max_steps=10_000, donate=True)
+        step, _ = make_albef_fused_dat_step(model, params, opt, max_steps=10_000,
+                                            donate=True, dropout_rng=d_rng)
     else:
         forward = make_albef_forward(model)
-        step = make_dat_train_step(forward, part, opt, max_steps=10_000)
+        step = make_dat_train_step(forward, part, opt, max_steps=10_000,
+                                   dropout_rng=d_rng)
     return model, params, step, state, batch
 
 
@@ -509,7 +521,11 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
 
     # -- ALBEF (secondary metrics, printed first) --------------------------
-    albef_bs = 16 if on_tpu else 4
+    # B=48 is the round-5 tuned optimum for the headline fused step (131.5
+    # vs 128.9 at B=16 with names+rbg, PERF.md round-5 lever table); the
+    # secondary variants keep B=16 (their round-4 comparison points).
+    albef_bs = 48 if on_tpu else 4
+    albef_bs_small = 16 if on_tpu else 4
     # the tuned fused step CARRIES live dropout since round 4 (fresh masks
     # per step; the one deviation from the reference's three independent
     # draws — stages ①/③ share the ensemble pass's mask — is
@@ -518,10 +534,10 @@ def main():
     # sequence-exact variant: the standard bf16 step (three independent
     # stochastic forwards — bitwise the reference sequence, like the fp32
     # baseline below)
-    albef_tuned_dropout = _measure_albef_train(albef_bs, "bfloat16", fused=False)
+    albef_tuned_dropout = _measure_albef_train(albef_bs_small, "bfloat16", fused=False)
     # throughput mode with dropout disabled (the pre-round-4 headline;
     # deterministic shared ensemble pass)
-    albef_tuned_det = _measure_albef_train(albef_bs, "bfloat16", dropout=False)
+    albef_tuned_det = _measure_albef_train(albef_bs_small, "bfloat16", dropout=False)
     # 30 iters: the B=2 fp32 denominator is latency-dominated and noisy at
     # few iters (same lesson as the ViLT baseline below)
     albef_base = _measure_albef_train(2, "float32", warmup=3, iters=30)

@@ -73,10 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_clients", type=int, default=None)
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--tp", type=int, default=1,
-                   help="tensor-parallel degree (sequential engine): shard the "
-                        "frozen backbone Megatron-style over a (data, model) "
-                        "mesh via jax.sharding placement; trainable PEFT "
-                        "partitions stay replicated (parallel/tp.py)")
+                   help="tensor-parallel degree: shard the frozen backbone "
+                        "Megatron-style over a `model` mesh axis via "
+                        "jax.sharding placement; trainable PEFT partitions "
+                        "stay replicated (parallel/tp.py).  Sequential engine "
+                        "runs over (data, model); --engine spmd over "
+                        "(client, data, model) with the model axis left to "
+                        "GSPMD (single-controller either way)")
     p.add_argument("--vocab_file", default=None,
                    help="bert-base-uncased vocab.txt for the WordPiece tokenizer")
     p.add_argument("--bert_model_path", default=None,
@@ -97,6 +100,19 @@ def build_parser() -> argparse.ArgumentParser:
                             "block_save", "block_save_nox", "block_save_ffn"],
                    help="remat granularity (PERF.md documents the measured trade-offs; "
                         "block_save_nox pairs with --attn_impl block: +8%% on v5e)")
+    p.add_argument("--text_remat_policy", default="full",
+                   choices=["full", "dots", "names", "block_save", "block_save_nox",
+                            "block_save_ffn"],
+                   help="checkpoint policy for ALBEF's text/fusion/decoder towers "
+                        "('names' saves qkv/attn_probs/attn_out/ffn_preact — incl. "
+                        "the fusion layers' S=577 image K/V projections, the "
+                        "dominant backward recompute: +4%% measured, PERF.md r5)")
+    p.add_argument("--dropout_rng", default="threefry",
+                   choices=["threefry", "rbg"],
+                   help="bit generator for dropout masks inside the train step "
+                        "(rbg = TPU hardware RNG for bulk bits: +7%% on ALBEF's "
+                        "24 dropout-bearing BERT layer-sites; mask streams differ "
+                        "from threefry's, trajectory-stochastic like any RNG swap)")
     p.add_argument("--attn_impl", default="auto",
                    choices=["auto", "xla", "fused", "flash", "block", "layer"],
                    help="attention kernel: auto/xla (XLA fused), fused (Pallas "
@@ -326,20 +342,15 @@ def build_clients(args, task_keys, tokenizer):
 def apply_tp_arg_guards(args) -> None:
     """Validate/normalize the ``--tp`` argument combinations (in place).
 
-    TP composes with the sequential engine only (the spmd engine's mesh axes
-    are (client, data)), with a single controller (the sequential engine
-    device_puts process-local batches — a multihost global mesh would need
-    per-process assembly), and with XLA attention (every Pallas attention
-    kernel is a custom call that does not partition over the model axis)."""
+    TP composes with both engines — sequential runs over a (data, model)
+    mesh (parallel/tp.py), spmd over (client, data, model) with the model
+    axis left to GSPMD (federated/spmd.py, shard_map ``axis_names``) — with
+    a single controller (both feed process-local batches; a multihost
+    global mesh would need per-process assembly of the model axis), and
+    with XLA attention (every Pallas attention kernel is a custom call that
+    does not partition over the model axis)."""
     if args.tp <= 1:
         return
-    if args.engine == "spmd":
-        raise SystemExit(
-            "--tp shards the backbone over a (data, model) mesh; the spmd "
-            "engine's mesh axes are (client, data).  Use --engine "
-            "sequential with --tp (the client loop stays sequential and "
-            "every client's step runs tensor-parallel)."
-        )
     if args.multihost:
         raise SystemExit(
             "--tp is single-controller: the sequential engine feeds "
@@ -432,6 +443,7 @@ def main(argv=None) -> int:
         dtype=args.dtype,
         single_task=args.do_single,
         debug_steps=args.debug,
+        dropout_rng=args.dropout_rng,
     )
     run_name = experiment_name(config)
     logger = setup_logger(args.output_dir, run_name=run_name)
@@ -528,6 +540,7 @@ def main(argv=None) -> int:
             image_size=(384, 640) if args.encoder_name in ("vilt", "viltbert") else None,
             remat=args.remat, remat_policy=args.remat_policy,
             attn_impl=args.attn_impl, attention_logits_dtype=logits_dtype,
+            text_remat_policy=args.text_remat_policy,
         )
 
     clients, answer_banks = build_clients(args, task_keys, tokenizer)
@@ -660,6 +673,7 @@ def main(argv=None) -> int:
             mesh = make_mesh(
                 num_clients=args.mesh_clients or len(task_keys),
                 data_parallel=args.mesh_data,
+                model_parallel=args.tp,
             )
         is_albef = args.encoder_name.startswith("albef")
         if args.encoder_name == "albef_distill":

@@ -196,6 +196,12 @@ class AlbefModelConfig:
     # recomputing them buys no memory — False skips that overhead while the
     # ViT keeps checkpointing.
     text_remat: Optional[bool] = None
+    # Checkpoint policy for the text/fusion/decoder towers' remat ("full" =
+    # recompute everything; "names" saves qkv/attn_probs/attn_out/ffn_preact
+    # — on the fusion layers qkv includes the S=577 image K/V projections,
+    # the dominant backward recompute).  Only meaningful when the towers
+    # remat at all (see ``text_remat``).
+    text_remat_policy: str = "full"
     # Storage dtype of attention logits/cotangents (see ViltModelConfig):
     # "bfloat16" halves the dominant HBM traffic of the attention backward
     # (+14%% measured on ViLT; same trick, same fp32 softmax accumulation).
@@ -251,6 +257,12 @@ class TrainConfig:
     dtype: str = "bfloat16"
     single_task: bool = False
     debug_steps: int = 0
+    # Bit generator for dropout MASKS inside the train steps ("threefry" =
+    # jax default, reference-style counter RNG on the VPU; "rbg" = the TPU
+    # hardware RNG via XLA RngBitGenerator for bulk bits — +7% measured on
+    # the ALBEF fused DAT step, PERF.md round 5).  The state rng chain and
+    # checkpoints stay threefry either way (utils.seeding.dropout_key).
+    dropout_rng: str = "threefry"
 
 
 def adapter_spec_for_mode(mode: PEFTMode, reduction_factor: int = 16) -> AdapterSpec:

@@ -145,15 +145,20 @@ class FederatedTrainer:
                 # engine is the donation-optimized path)
                 if use_fused_dat:
                     step = self._build_fused_dat_step(
-                        model, params, task_key, part, opt_cfg, max_steps
+                        model, params, task_key, part, opt_cfg, max_steps,
+                        dropout_rng=config.dropout_rng,
                     )
                 else:
-                    step = make_dat_train_step(forward, part, opt_cfg, max_steps, donate=False)
+                    step = make_dat_train_step(
+                        forward, part, opt_cfg, max_steps, donate=False,
+                        dropout_rng=config.dropout_rng,
+                    )
             else:
                 adapter_mode = "adapter" if self.mode == PEFTMode.ADAPTER else "none"
                 step = make_plain_train_step(
                     forward, part, opt_cfg, max_steps, adapter_mode,
                     donate=False, aux_forward=aux_forward,
+                    dropout_rng=config.dropout_rng,
                 )
             self.clients.append(
                 ClientRuntime(
@@ -199,7 +204,8 @@ class FederatedTrainer:
         )
 
     @staticmethod
-    def _build_fused_dat_step(model, params, task_key, part, opt_cfg, max_steps):
+    def _build_fused_dat_step(model, params, task_key, part, opt_cfg, max_steps,
+                              dropout_rng: str = "threefry"):
         """Fused DAT step (single ensemble encoder pass; see
         ``train/dat.py::make_dat_train_step_fused``).  Exact when encoder
         dropout is off (ViLT default); live dropout (ALBEF/ViltBert 0.1) is
@@ -218,7 +224,8 @@ class FederatedTrainer:
             from feddat_tpu.train.trainers import make_albef_fused_dat_step
 
             step, _ = make_albef_fused_dat_step(
-                model, params, opt_cfg, max_steps, donate=False, part=part
+                model, params, opt_cfg, max_steps, donate=False, part=part,
+                dropout_rng=dropout_rng,
             )
             return step
 
@@ -250,7 +257,8 @@ class FederatedTrainer:
             return bce_with_logits_vqa(logits, b["target_scores"])
 
         return make_dat_train_step_fused(
-            encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=False
+            encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=False,
+            dropout_rng=dropout_rng,
         )
 
     @staticmethod

@@ -111,6 +111,19 @@ class SPMDFederatedTrainer:
         self.model = model
         self.config = config
         self.mesh = mesh
+        # Optional tensor-parallel composition (SURVEY §2.7's "(clients,
+        # data) + optional model axis"): a mesh carrying a ``model`` axis
+        # runs each client slot's step TP-sharded.  The engine stays manual
+        # over (client, data) only — shard_map's ``axis_names`` excludes the
+        # model axis, so GSPMD sees the backbone's parallel.tp layout on it
+        # and inserts the per-layer all-reduces (the sequential --tp path's
+        # exact sharding, now per client slot).
+        from feddat_tpu.parallel.tp import MODEL_AXIS
+
+        self._model_parallel = (
+            int(mesh.shape[MODEL_AXIS]) if MODEL_AXIS in mesh.axis_names else 1
+        )
+        self._manual_axes = frozenset({CLIENT_AXIS, DATA_AXIS})
         self.clients = list(clients)
         C = mesh.shape[CLIENT_AXIS]
         if len(self.clients) != C:
@@ -204,10 +217,20 @@ class SPMDFederatedTrainer:
         self.client_state = self._put_client_tree(_stack_trees([client_part] * C))
         # committed replicated placement (multi-process jit REQUIRES global
         # arrays; single-host it also keeps a numpy checkpoint-loaded
-        # backbone from being re-transferred on every step)
-        self.backbone = jax.tree_util.tree_map(
-            lambda x: self._put_global(x, P()), self.backbone
-        )
+        # backbone from being re-transferred on every step).  With a model
+        # axis, frozen-backbone kernels take the parallel.tp layout instead
+        # (column/row-sharded projections, replicated elsewhere).
+        if self._model_parallel > 1:
+            from feddat_tpu.parallel.tp import tp_spec_for
+
+            flat_b = traverse_util.flatten_dict(self.backbone)
+            self.backbone = traverse_util.unflatten_dict(
+                {p: self._put_global(v, tp_spec_for(p, v)) for p, v in flat_b.items()}
+            )
+        else:
+            self.backbone = jax.tree_util.tree_map(
+                lambda x: self._put_global(x, P()), self.backbone
+            )
 
         self.full_epochs = full_epochs
         agg = max if full_epochs else min
@@ -224,6 +247,7 @@ class SPMDFederatedTrainer:
             core = plain_step_core(
                 forward, self.partitioner, config.optimizer, max_steps,
                 adapter_mode, data_axis=DATA_AXIS,
+                dropout_rng=config.dropout_rng,
             )
         elif use_fused:
             from feddat_tpu.peft.partition import merge as _merge
@@ -271,10 +295,12 @@ class SPMDFederatedTrainer:
             core = dat_step_core_fused(
                 encode, head_fn, task_loss, self.partitioner, config.optimizer,
                 max_steps, data_axis=DATA_AXIS,
+                dropout_rng=config.dropout_rng,
             )
         else:
             core = dat_step_core(
-                forward, self.partitioner, config.optimizer, max_steps, data_axis=DATA_AXIS
+                forward, self.partitioner, config.optimizer, max_steps,
+                data_axis=DATA_AXIS, dropout_rng=config.dropout_rng,
             )
         from flax import traverse_util as _tu
 
@@ -353,6 +379,7 @@ class SPMDFederatedTrainer:
                 in_specs=in_specs,
                 out_specs=out_specs,
                 check_vma=False,
+                axis_names=self._manual_axes,  # model axis (if any) stays GSPMD-auto
             ),
             donate_argnums=(2, 3, 4),  # client_state kept undonated: fedavg/teacher-refresh outputs may alias
         )
@@ -408,6 +435,7 @@ class SPMDFederatedTrainer:
                                   P(CLIENT_AXIS), P(CLIENT_AXIS, DATA_AXIS)),
                         out_specs=P(CLIENT_AXIS),
                         check_vma=False,
+                        axis_names=self._manual_axes,
                     )
                 )
         else:
@@ -440,6 +468,7 @@ class SPMDFederatedTrainer:
                         in_specs=(P(), P(CLIENT_AXIS), P(CLIENT_AXIS, DATA_AXIS)),
                         out_specs=P(CLIENT_AXIS),
                         check_vma=False,
+                        axis_names=self._manual_axes,
                     )
                 )
 

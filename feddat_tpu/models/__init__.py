@@ -26,6 +26,7 @@ def create_model(
     remat_policy: str = "full",
     attn_impl: str = "auto",
     attention_logits_dtype: str = "float32",
+    text_remat_policy: str = "full",
 ):
     """-> (model, model_config).  ``task_heads`` maps task_key -> TaskHeadSpec
     (ignored by ALBEF, whose head is the LM decoder).
@@ -109,6 +110,7 @@ def create_model(
             attention_logits_dtype=attention_logits_dtype,
             fuse_ln=fuse_ln,
             distill=(encoder_name == "albef_distill"),
+            text_remat_policy=text_remat_policy,
         )
         # 'block'/'layer' on ALBEF target the ViT tower (S=577, the
         # FLOP-dominant stack); the text/fusion/decoder towers keep the XLA

@@ -104,6 +104,7 @@ class AlbefModel(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=text_remat,
+            remat_policy=self.cfg.text_remat_policy,
             logits_dtype=logits_dtype,
         )
         self.text_decoder = XBertLMHead(
@@ -113,6 +114,7 @@ class AlbefModel(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=text_remat,
+            remat_policy=self.cfg.text_remat_policy,
             logits_dtype=logits_dtype,
         )
 

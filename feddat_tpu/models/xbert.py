@@ -131,8 +131,13 @@ class XBertLayer(nn.Module):
             h = residual_block(h, cross, "crossattention_norm")
 
         # FFN with adapter LN-sandwich
+        from jax.ad_checkpoint import checkpoint_name
+
         init = nn.initializers.normal(stddev=c.initializer_range)
         inter = nn.Dense(c.intermediate_size, kernel_init=init, dtype=self.dtype, name="intermediate")(h)
+        # same selective-remat tag as layers.Mlp: the [*, 4d] pre-GELU matmul
+        # output is the most expensive tensor to recompute under remat
+        inter = checkpoint_name(inter, "ffn_preact")
         inter = nn.gelu(inter, approximate=False)
         o = nn.Dense(c.hidden_size, kernel_init=init, dtype=self.dtype, name="output")(inter)
         o = nn.Dropout(c.hidden_dropout)(o, deterministic=deterministic)
@@ -156,6 +161,12 @@ class XBertEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # Checkpoint policy for the layer remat ("full" = recompute everything,
+    # the reference's torch.utils.checkpoint semantics; "names" saves the
+    # tagged qkv/attn_probs/attn_out/ffn_preact tensors — on the fusion
+    # layers that includes the S=577 image K/V projections, the dominant
+    # recompute).  Resolved via ops/remat_policy.py like the ViT stacks.
+    remat_policy: str = "full"
     logits_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -173,6 +184,13 @@ class XBertEncoder(nn.Module):
         c = self.cfg
         n_text = c.fusion_layer
         n_fusion = c.num_layers - c.fusion_layer
+        remat_policy = None
+        if self.remat and self.remat_policy != "full":
+            from feddat_tpu.ops.remat_policy import resolve_remat_policy
+
+            remat_policy = resolve_remat_policy(
+                self.remat_policy, supports_structural=False
+            )
 
         def make_scan(has_cross, length, name):
             use_remat = self.remat
@@ -206,7 +224,7 @@ class XBertEncoder(nn.Module):
                     if use_remat:
                         # the gradient-checkpointing path the reference
                         # implements but never enables (``xbert.py:574-596``)
-                        out = nn.remat(call)(layer, carry, ctx)
+                        out = nn.remat(call, policy=remat_policy)(layer, carry, ctx)
                     else:
                         out = call(layer, carry, ctx)
                     return out, None
@@ -238,6 +256,7 @@ class XBertModel(nn.Module):
     attn_impl: str = "auto"
     is_decoder: bool = False
     remat: bool = False
+    remat_policy: str = "full"
     logits_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -278,6 +297,7 @@ class XBertModel(nn.Module):
             self.dtype,
             self.attn_impl,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             logits_dtype=self.logits_dtype,
             name="encoder",
         )(
@@ -344,6 +364,7 @@ class XBertLMHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    remat_policy: str = "full"
     logits_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -355,6 +376,7 @@ class XBertLMHead(nn.Module):
             self.attn_impl,
             is_decoder=True,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             logits_dtype=self.logits_dtype,
         )
         self.cls = BertPredictionHead(self.cfg, self.dtype)

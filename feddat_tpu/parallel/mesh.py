@@ -28,20 +28,35 @@ def make_mesh(
     num_clients: int = 1,
     data_parallel: Optional[int] = None,
     devices: Optional[Sequence] = None,
+    model_parallel: int = 1,
 ) -> Mesh:
-    """Mesh of shape (client=num_clients, data=data_parallel).
+    """Mesh of shape (client=num_clients, data=data_parallel[, model=...]).
 
     ``data_parallel`` defaults to using all remaining devices.
+    ``model_parallel > 1`` appends the tensor-parallel ``model`` axis
+    (innermost, so each client/data slot's TP group sits on ICI-adjacent
+    devices); the SPMD engine leaves that axis to GSPMD (shard_map
+    ``axis_names`` excludes it) with the ``parallel.tp`` layout.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data_parallel is None:
-        if n % num_clients != 0:
-            raise ValueError(f"{n} devices not divisible by {num_clients} clients")
-        data_parallel = n // num_clients
-    need = num_clients * data_parallel
+        if n % (num_clients * model_parallel) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by {num_clients} clients"
+                + (f" x model={model_parallel}" if model_parallel > 1 else "")
+            )
+        data_parallel = n // (num_clients * model_parallel)
+    need = num_clients * data_parallel * model_parallel
     if need > n:
         raise ValueError(f"need {need} devices, have {n}")
+    if model_parallel > 1:
+        from feddat_tpu.parallel.tp import MODEL_AXIS
+
+        grid = np.asarray(devices[:need]).reshape(
+            num_clients, data_parallel, model_parallel
+        )
+        return Mesh(grid, (CLIENT_AXIS, DATA_AXIS, MODEL_AXIS))
     grid = np.asarray(devices[:need]).reshape(num_clients, data_parallel)
     return Mesh(grid, (CLIENT_AXIS, DATA_AXIS))
 

@@ -336,6 +336,11 @@ def _study_albef_model(mode, full_scale: bool, attn_impl=None):
             remat_policy="block_save_nox",
             attention_logits_dtype="bfloat16",
             fuse_ln=(mode != PEFTMode.NORM),
+            # pure checkpointing change (exact same grads —
+            # tests/test_albef.py::test_text_remat_policy_names_exact_grads);
+            # saves the fusion layers' S=577 image K/V recompute, ~4% wall
+            # per round (PERF.md round 5)
+            text_remat_policy="names",
         )
         return AlbefModel(cfg, dtype=jnp.bfloat16,
                           vision_attn_impl=attn_impl or "block"), cfg

@@ -203,11 +203,16 @@ def dat_step_core(
     opt_cfg: OptimizerConfig,
     max_steps: int,
     data_axis: str | None = None,
+    dropout_rng: str = "threefry",
 ):
     """The un-jitted DAT step; ``data_axis`` enables gradient ``pmean`` over a
     mesh axis for data parallelism inside ``shard_map`` (the TPU-native
     replacement for the reference's DDP allreduce,
-    ``task_trainer.py:302,323``)."""
+    ``task_trainer.py:302,323``).  ``dropout_rng``: bit-generator for the
+    per-stage dropout keys (see ``utils.seeding.dropout_key``; "rbg" uses
+    the TPU hardware RNG for bulk mask bits, +7%% on ALBEF)."""
+    from feddat_tpu.utils.seeding import dropout_key
+
     tx = adamw_direction(opt_cfg)
     lr_at = _make_lr_at(opt_cfg, max_steps)
     P = partitioner
@@ -219,6 +224,7 @@ def dat_step_core(
 
     def step(state: TrainState, batch: Dict[str, Any]):
         rng, d0, d1, d2 = jax.random.split(state.rng, 4)
+        d0, d1, d2 = (dropout_key(d, dropout_rng) for d in (d0, d1, d2))
         params = state.params
 
         # ① ensemble forward (teacher+local mix), gradients stopped.
@@ -282,6 +288,7 @@ def make_dat_train_step(
     opt_cfg: OptimizerConfig,
     max_steps: int,
     donate: bool = True,
+    dropout_rng: str = "threefry",
 ):
     """Returns jitted ``step(state, batch) -> (state, metrics)``.
 
@@ -293,7 +300,9 @@ def make_dat_train_step(
       * the head's Adam moments/step advance in both updates (torch keeps a
         single per-param state across both ``optimizer.step()`` calls).
     """
-    step = dat_step_core(forward, partitioner, opt_cfg, max_steps)
+    step = dat_step_core(
+        forward, partitioner, opt_cfg, max_steps, dropout_rng=dropout_rng
+    )
     if donate:
         return jax.jit(step, donate_argnums=(0,))
     return jax.jit(step)
@@ -307,6 +316,7 @@ def dat_step_core_fused(
     opt_cfg: OptimizerConfig,
     max_steps: int,
     data_axis: str | None = None,
+    dropout_rng: str = "threefry",
 ):
     """DAT step that computes the ensemble ENCODER forward once.
 
@@ -342,7 +352,10 @@ def dat_step_core_fused(
         return jax.lax.pmean(tree, data_axis)
 
     def step(state: TrainState, batch: Dict[str, Any]):
+        from feddat_tpu.utils.seeding import dropout_key
+
         rng, d0, d1 = jax.random.split(state.rng, 3)
+        d0, d1 = dropout_key(d0, dropout_rng), dropout_key(d1, dropout_rng)
         params = state.params
         head = P.extract(params, P.head_paths)
         local = P.extract(params, P.local_paths)
@@ -413,6 +426,7 @@ def dat_step_core_joint(
     ensemble_weight: float = 0.5,
     adapter_scaling: float = 1.0,
     data_axis: str | None = None,
+    dropout_rng: str = "threefry",
 ):
     """DAT step as ONE mega-batched encoder forward + ONE shared backward.
 
@@ -470,7 +484,10 @@ def dat_step_core_joint(
     single = jnp.zeros((n_names,)).at[w_row["adapter_1"]].set(1.0)
 
     def step(state: TrainState, batch: Dict[str, Any]):
+        from feddat_tpu.utils.seeding import dropout_key
+
         rng, d0 = jax.random.split(state.rng)
+        d0 = dropout_key(d0, dropout_rng)
         params = state.params
         head = P.extract(params, P.head_paths)
         local = P.extract(params, P.local_paths)
@@ -561,11 +578,13 @@ def make_dat_train_step_joint(
     ensemble_weight: float = 0.5,
     adapter_scaling: float = 1.0,
     donate: bool = True,
+    dropout_rng: str = "threefry",
 ):
     """Jitted wrapper around :func:`dat_step_core_joint` (see its docstring)."""
     step = dat_step_core_joint(
         encode_fn, head_fn, task_loss_fn, partitioner, opt_cfg, max_steps,
         adapter_names, ensemble_weight, adapter_scaling,
+        dropout_rng=dropout_rng,
     )
     if donate:
         return jax.jit(step, donate_argnums=(0,))
@@ -580,10 +599,12 @@ def make_dat_train_step_fused(
     opt_cfg: OptimizerConfig,
     max_steps: int,
     donate: bool = True,
+    dropout_rng: str = "threefry",
 ):
     """Jitted wrapper around :func:`dat_step_core_fused` (see its docstring)."""
     step = dat_step_core_fused(
-        encode_fn, head_fn, task_loss_fn, partitioner, opt_cfg, max_steps
+        encode_fn, head_fn, task_loss_fn, partitioner, opt_cfg, max_steps,
+        dropout_rng=dropout_rng,
     )
     if donate:
         return jax.jit(step, donate_argnums=(0,))
@@ -598,6 +619,7 @@ def plain_step_core(
     adapter_mode: str = "none",
     aux_forward: bool = False,
     data_axis: str | None = None,
+    dropout_rng: str = "threefry",
 ):
     """Un-jitted single fwd/bwd/update step for all non-DAT modes
     (reference ``task_trainer.py:433-450``).  ``data_axis`` enables gradient
@@ -619,7 +641,10 @@ def plain_step_core(
         return jax.lax.pmean(tree, data_axis)
 
     def step(state: TrainState, batch: Dict[str, Any]):
-        rng, dropout_rng = jax.random.split(state.rng)
+        from feddat_tpu.utils.seeding import dropout_key
+
+        rng, d_rng = jax.random.split(state.rng)
+        d_rng = dropout_key(d_rng, dropout_rng)
         params = state.params
         trainable = P.extract(params, paths)
 
@@ -627,10 +652,10 @@ def plain_step_core(
             full = P.merge_into(params, train_p)
             if aux_forward:
                 task_loss, logits, new_aux = forward(
-                    full, batch, adapter_mode, dropout_rng, state.aux
+                    full, batch, adapter_mode, d_rng, state.aux
                 )
             else:
-                task_loss, logits = forward(full, batch, adapter_mode, dropout_rng)
+                task_loss, logits = forward(full, batch, adapter_mode, d_rng)
                 new_aux = state.aux
             return task_loss, (logits, new_aux)
 
@@ -676,10 +701,12 @@ def make_plain_train_step(
     adapter_mode: str = "none",
     donate: bool = True,
     aux_forward: bool = False,
+    dropout_rng: str = "threefry",
 ):
     """Jitted wrapper around :func:`plain_step_core` (see its docstring)."""
     step = plain_step_core(
-        forward, partitioner, opt_cfg, max_steps, adapter_mode, aux_forward
+        forward, partitioner, opt_cfg, max_steps, adapter_mode, aux_forward,
+        dropout_rng=dropout_rng,
     )
     if donate:
         return jax.jit(step, donate_argnums=(0,))

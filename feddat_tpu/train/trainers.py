@@ -150,7 +150,7 @@ def check_fused_dropout(model, carries: bool = False) -> float:
     return live
 
 
-def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: int = 0, donate: bool = False, part=None):
+def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: int = 0, donate: bool = False, part=None, dropout_rng: str = "threefry"):
     """ALBEF fused DAT step: one ensemble encoder+decoder-backbone pass per
     batch (only the ``cls`` LM head changes between DAT stages ① and ③).
     Exact when dropout is off; with live dropout (ALBEF's default 0.1) the
@@ -172,7 +172,8 @@ def make_albef_fused_dat_step(model, params, opt_cfg, max_steps, pad_token_id: i
         model, frozen_rest, pad_token_id, dropout=live > 0.0
     )
     return make_dat_train_step_fused(
-        encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=donate
+        encode, head_fn, task_loss, part, opt_cfg, max_steps, donate=donate,
+        dropout_rng=dropout_rng,
     ), part
 
 

@@ -1,11 +1,13 @@
 #!/usr/bin/env bash
 # The TPU-tuned ALBEF launch (PERF.md's measured-optimal configuration):
-# batch 16 per pass, bf16 compute, the whole-LAYER Pallas kernel on the
+# batch 48 per pass, bf16 compute, the whole-LAYER Pallas kernel on the
 # ViT tower (--attn_impl layer routes to vision_attn_impl for ALBEF; its
-# vjp saves its own residuals so the ViT scan skips remat) with the
-# block_save_nox remat policy on the post-LN BERT towers, fused DAT step
-# (live dropout), SPMD engine.  116 samples/s per v5e chip vs 82 for the
-# round-1 config and 99 for the round-4 block config (PERF.md).
+# vjp saves its own residuals so the ViT scan skips remat), block_save_nox
+# remat on the ViT epilogue + the 'names' selective policy on the post-LN
+# BERT towers (saves the fusion layers' S=577 image K/V projections),
+# hardware-RNG dropout masks (--dropout_rng rbg), fused DAT step (live
+# dropout), SPMD engine.  131.5 samples/s per v5e chip vs 82 round-1,
+# 99 round-3 block, 116 round-4 layer (PERF.md round-5 lever table).
 set -euo pipefail
 python -m feddat_tpu.cli \
   --encoder_name albef_no_distill \
@@ -14,8 +16,8 @@ python -m feddat_tpu.cli \
   --climb_data_dir "${DATA_DIR:-./data}" \
   --output_dir ./logs \
   --do_train \
-  --batch_size 16 \
-  --val_batch_size 16 \
+  --batch_size 48 \
+  --val_batch_size 32 \
   --lr 1e-4 \
   --optimizer_mode dat \
   --seed 2 \
@@ -27,6 +29,8 @@ python -m feddat_tpu.cli \
   --dtype bfloat16 \
   --remat \
   --remat_policy block_save_nox \
+  --text_remat_policy names \
+  --dropout_rng rbg \
   --attn_impl layer \
   --cache_images \
   --device_normalize \

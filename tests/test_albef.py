@@ -229,3 +229,64 @@ def test_freeze_bottom_k_covers_all_towers(albef_setup):
     # decoder (original layers >= fusion_layer)
     assert masks(lambda p: "fusion_layers" in p and p[0] == "text_encoder") == (0.0, 1.0)
     assert masks(lambda p: "fusion_layers" in p and p[0] == "text_decoder") == (0.0, 1.0)
+
+
+def test_text_remat_policy_names_exact_grads(albef_setup):
+    """``text_remat_policy='names'`` is a pure checkpointing change: loss and
+    every gradient match the full-recompute default exactly (round-5 lever,
+    PERF.md; the tags save qkv/attn_probs/attn_out/ffn_preact incl. the
+    fusion layers' image K/V projections)."""
+    import dataclasses
+
+    model, params, client = albef_setup
+    batch = next(client.train_batches(0))
+
+    def grads_for(policy):
+        cfg = dataclasses.replace(
+            TINY_ALBEF, remat=True, text_remat_policy=policy
+        )
+        m = AlbefModel(cfg)
+
+        def loss_fn(p):
+            loss, _ = m.apply(
+                {"params": p}, batch, adapter_mode="ensemble", deterministic=True
+            )
+            return loss
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    l_full, g_full = grads_for("full")
+    l_names, g_names = grads_for("names")
+    assert float(l_full) == float(l_names)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_names)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_dropout_rng_rbg_trains(albef_setup):
+    """``dropout_rng='rbg'`` (TPU hardware RNG for mask bits) runs the fused
+    DAT step with live dropout to finite decreasing loss; the state rng
+    chain stays a plain threefry key (checkpoint/gating compatible)."""
+    import dataclasses
+
+    from feddat_tpu.train.trainers import make_albef_fused_dat_step
+
+    model, params, client = albef_setup
+    cfg = dataclasses.replace(
+        TINY_ALBEF,
+        bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.1, attention_dropout=0.1),
+    )
+    m = AlbefModel(cfg)
+    batch = next(client.train_batches(0))
+    part = Partitioner(params, "fed", PEFTMode.DAT)
+    state = init_train_state(params, part, OptimizerConfig(lr=5e-3), jax.random.PRNGKey(0))
+    step, _ = make_albef_fused_dat_step(
+        m, params, OptimizerConfig(lr=5e-3), max_steps=100, dropout_rng="rbg"
+    )
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    # the state rng is still a raw threefry key array (uint32[2])
+    assert np.asarray(state.rng).dtype == np.uint32
