@@ -206,6 +206,21 @@ class AlbefModelConfig:
     # "bfloat16" halves the dominant HBM traffic of the attention backward
     # (+14%% measured on ViLT; same trick, same fp32 softmax accumulation).
     attention_logits_dtype: str = "float32"
+    # Candidates packed per row in rank_answer's stage-2 rerank decode
+    # (ops/attention.packed_self_bias): the k=64 candidate sequences are
+    # La=10 rows each — packing g of them per self-attention row lifts MXU
+    # occupancy at a negligible g^2 score-FLOP overhead.  Numerically EXACT
+    # vs the unpacked layout (the -10000 mask fill underflows exp to 0.0).
+    # Applied when it divides k; 1 = the reference's layout.
+    eval_pack_group: int = 8
+    # NOTE: the TRAIN decode is deliberately NOT packed: fully-padded answer
+    # slots (dense-bank padding, weight 0) lose their own softmax support
+    # under the block-diagonal bias (every key ~-10000, so the softmax
+    # spreads over the whole packed row), and the fused DAT step's KD term
+    # (train/losses.kd_kl_loss) sums over ALL positions incl. those rows —
+    # packing would change the KD loss on padded-slot batches.  rank_answer
+    # candidates are BOS-prefixed (never fully masked), so eval packing is
+    # exact.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -157,11 +157,14 @@ class AlbefModel(nn.Module):
         adapter_mode="none",
         deterministic=True,
         cross_group=1,
+        pack_group=1,
     ):
         """``cross_group=k``: answer rows come k-per-question ([B*k, La])
         while question_states stay [B, Lq, D] — the decoder groups the
         cross-attention per question (see XBertLayer), avoiding the
-        k-fold repeat of the question states entirely."""
+        k-fold repeat of the question states entirely.  ``pack_group=g``
+        additionally packs g candidate rows per SELF-attention row
+        (block-diagonal bias, numerically exact — see XBertModel)."""
         return self.text_decoder(
             answer_ids,
             answer_mask,
@@ -170,6 +173,7 @@ class AlbefModel(nn.Module):
             adapter_mode=adapter_mode,
             deterministic=deterministic,
             cross_group=cross_group,
+            pack_group=pack_group,
         )
 
     # -- train -------------------------------------------------------------
@@ -288,10 +292,15 @@ class AlbefModel(nn.Module):
         cand_ids = answer_ids[topk_ids.reshape(-1)]  # [B*k, La]
         cand_mask = answer_mask[topk_ids.reshape(-1)]
         # grouped cross-attention: question states are NOT repeated per
-        # candidate (encoder K/V projections run B times, not B*k times)
+        # candidate (encoder K/V projections run B times, not B*k times);
+        # candidate PACKING lifts the self-attention's MXU occupancy on the
+        # La=10 rows (exact numerics, cfg.eval_pack_group)
+        g = self.cfg.eval_pack_group
+        if g <= 1 or k % g:
+            g = 1
         logits = self.decode_logits(
             cand_ids, cand_mask, q_states, batch["question_mask"], adapter_mode,
-            True, cross_group=k,
+            True, cross_group=k, pack_group=g,
         )
         targets = jnp.where(cand_ids == pad_token_id, -100, cand_ids)
         seq_loss = shifted_lm_loss(logits, targets)  # [B*k]

@@ -272,6 +272,7 @@ class XBertModel(nn.Module):
         deterministic: bool = True,
         inputs_embeds=None,
         cross_group: int = 1,
+        pack_group: int = 1,
     ):
         c = self.cfg
         if inputs_embeds is None:
@@ -280,9 +281,34 @@ class XBertModel(nn.Module):
             )
         else:
             x = inputs_embeds
-        self_bias = mask_to_bias(attention_mask, jnp.float32)
-        if self.is_decoder:
-            self_bias = self_bias + causal_bias(x.shape[1], jnp.float32)
+        unpacked_shape = x.shape
+        if pack_group > 1:
+            # Pack ``pack_group`` independent sequences per row AFTER the
+            # embeddings (position ids are per-sequence): the MXU-occupancy
+            # lever for tiny decode sequences (rank_answer's [B*k, La=10]
+            # rerank rows).  Self-attention sees a block-diagonal bias
+            # (ops/attention.packed_self_bias — numerically EXACT vs the
+            # unpacked layout); LN/FFN/adapters are row-independent; the
+            # cross-attention grouping composes (the packed reshape is a
+            # pure view of the same contiguous candidate order, so
+            # cross_group just shrinks by the packing factor).
+            N, L, D = x.shape
+            if N % pack_group or cross_group % pack_group:
+                raise ValueError(
+                    f"pack_group={pack_group} must divide rows {N} and "
+                    f"cross_group={cross_group}"
+                )
+            from feddat_tpu.ops.attention import packed_self_bias
+
+            x = x.reshape(N // pack_group, pack_group * L, D)
+            self_bias = packed_self_bias(
+                attention_mask, pack_group, self.is_decoder, jnp.float32
+            )
+            cross_group = cross_group // pack_group
+        else:
+            self_bias = mask_to_bias(attention_mask, jnp.float32)
+            if self.is_decoder:
+                self_bias = self_bias + causal_bias(x.shape[1], jnp.float32)
         enc_bias = None
         if encoder_hidden_states is not None:
             if encoder_attention_mask is None:
@@ -290,7 +316,7 @@ class XBertModel(nn.Module):
                     encoder_hidden_states.shape[:2], dtype=jnp.int32
                 )
             enc_bias = mask_to_bias(encoder_attention_mask, jnp.float32)
-        return XBertEncoder(
+        out = XBertEncoder(
             c,
             self.adapter,
             self.lora,
@@ -310,6 +336,9 @@ class XBertModel(nn.Module):
             deterministic=deterministic,
             cross_group=cross_group,
         )
+        if pack_group > 1:
+            out = out.reshape(unpacked_shape)
+        return out
 
 
 class _TiedDecoderBias(nn.Module):
@@ -390,6 +419,7 @@ class XBertLMHead(nn.Module):
         adapter_mode: str = "none",
         deterministic: bool = True,
         cross_group: int = 1,
+        pack_group: int = 1,
     ):
         """Decoder transformer only -> final hidden states (no LM head)."""
         return self.bert(
@@ -401,6 +431,7 @@ class XBertLMHead(nn.Module):
             adapter_mode=adapter_mode,
             deterministic=deterministic,
             cross_group=cross_group,
+            pack_group=pack_group,
         )
 
     def cls_logits(self, hidden):
@@ -418,6 +449,7 @@ class XBertLMHead(nn.Module):
         adapter_mode: str = "none",
         deterministic: bool = True,
         cross_group: int = 1,
+        pack_group: int = 1,
     ):
         hidden = self.bert_hidden(
             input_ids,
@@ -427,6 +459,7 @@ class XBertLMHead(nn.Module):
             adapter_mode,
             deterministic,
             cross_group,
+            pack_group,
         )
         return self.cls_logits(hidden)
 

@@ -158,3 +158,34 @@ def causal_bias(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:
     allowed = j <= i
     bias = jnp.where(allowed, 0.0, -10000.0)
     return bias[None, None, :, :].astype(dtype)
+
+
+def packed_self_bias(
+    mask: jnp.ndarray, group: int, causal: bool, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Self-attention bias for ``group`` independent length-L sequences
+    PACKED per row: [N, L] padding mask (N = G*group) -> additive
+    [G, 1, group*L, group*L] bias that is block-diagonal over the packed
+    sequences (cross-sequence keys masked), carries each key's padding
+    mask, and is causal within each sequence when ``causal``.
+
+    Why: tiny decode sequences (ALBEF rank-answer rerank: B*k=1024 rows of
+    La=10) leave the MXU ~8% row-occupied per attention dot; packing g
+    candidates per row turns [La, La] dots into [g*La, g*La] at a g^2
+    score-FLOP overhead that is negligible for La=10 (the scores are <1%
+    of the layer's FLOPs).  Numerically EXACT vs the unpacked layout: the
+    -10000.0 fill (reference ``get_extended_attention_mask`` constant)
+    underflows ``exp`` to 0.0 in fp32, so cross-sequence keys contribute
+    exactly zero to both the softmax normalizer and the context sum.
+    """
+    n, L = mask.shape
+    g = group  # sequences per packed row
+    G = n // g
+    key = (1.0 - mask.astype(jnp.float32).reshape(G, g * L)) * -10000.0
+    idx = jnp.arange(g * L)
+    allowed = (idx[:, None] // L) == (idx[None, :] // L)
+    if causal:
+        allowed = allowed & ((idx[None, :] % L) <= (idx[:, None] % L))
+    struct = jnp.where(allowed, 0.0, -10000.0)
+    bias = key[:, None, None, :] + struct[None, None, :, :]
+    return bias.astype(dtype)

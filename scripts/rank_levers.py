@@ -130,6 +130,20 @@ def main(argv=None) -> int:
             B = 32
         elif lever == "b48":
             B = 48
+        # round-5 candidate-packing levers (ops/attention.packed_self_bias;
+        # numerically exact — tests/test_albef.py::test_rank_answer_pack_group_exact).
+        # `base` carries the config default eval_pack_group=8 since round 5;
+        # `nopack` is the reference layout for comparison.
+        elif lever == "nopack":
+            m = variant(eval_pack_group=1)
+        elif lever == "pack4":
+            m = variant(eval_pack_group=4)
+        elif lever == "pack16":
+            m = variant(eval_pack_group=16)
+        elif lever == "pack32":
+            m = variant(eval_pack_group=32)
+        elif lever == "b32_nopack":
+            B, m = 32, variant(eval_pack_group=1)
         elif lever == "text_block":
             m = variant(attn_impl="block")
         elif lever == "vis_block":

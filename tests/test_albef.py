@@ -290,3 +290,40 @@ def test_dropout_rng_rbg_trains(albef_setup):
     assert losses[-1] < losses[0]
     # the state rng is still a raw threefry key array (uint32[2])
     assert np.asarray(state.rng).dtype == np.uint32
+
+
+def test_rank_answer_pack_group_exact(albef_setup):
+    """Candidate packing in the rerank decode (``eval_pack_group``) is a
+    pure layout change: rank_answer's ids AND probabilities are identical
+    to the unpacked reference layout (the -10000 bias fill underflows exp
+    to exactly 0.0, so packed rows add exact zeros)."""
+    import dataclasses
+
+    model, params, client = albef_setup
+    batch = next(client.eval_batches())
+    eval_batch = {
+        "pixel_values": batch["pixel_values"],
+        "question_ids": batch["question_ids"],
+        "question_mask": batch["question_mask"],
+    }
+    ids = np.asarray(client.answer_ids)
+    mask = np.asarray(client.answer_mask)
+
+    def run(g):
+        m = AlbefModel(dataclasses.replace(TINY_ALBEF, eval_pack_group=g))
+        return jax.jit(
+            lambda p, b: m.apply(
+                {"params": p}, b, jnp.asarray(ids), jnp.asarray(mask), 4,
+                "ensemble", 0, method=AlbefModel.rank_answer,
+            )
+        )(params, eval_batch)
+
+    ids1, probs1 = run(1)
+    ids4, probs4 = run(4)
+    ids2, probs2 = run(2)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids4))
+    np.testing.assert_allclose(np.asarray(probs1), np.asarray(probs4), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+    # a pack that does not divide k falls back to the unpacked layout
+    ids3, _ = run(3)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids3))
