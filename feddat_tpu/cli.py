@@ -133,6 +133,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "threads suffice here because PIL decode and the "
                         "native normalize core release the GIL).  0 = "
                         "serial loading")
+    p.add_argument("--canvas_bucket", action="store_true",
+                   help="ViLT pipelines: pad train batches whose every image "
+                        "resizes to width <= 384 onto a square (384, 384) "
+                        "canvas (~40%% less pixel payload for portrait/square "
+                        "images; per-image pixels and scores are identical — "
+                        "the model slices its position grid).  Sequential "
+                        "engine only (the SPMD engine stacks same-shape "
+                        "client batches)")
     p.add_argument("--cache_images", action="store_true",
                    help="cache decoded+resized images (uint8) across "
                         "epochs/rounds; per-epoch normalize+pad runs fused in "
@@ -222,6 +230,7 @@ def _build_vqa_cross_client(args, key, spec, tokenizer, answer_banks):
         val_batch_size=args.val_batch_size, seed=args.seed,
         eval_examples=eval_examples, cache_images=args.cache_images,
         pixels_u8=args.device_normalize, num_workers=args.num_workers,
+        canvas_bucket=args.canvas_bucket,
         **({"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}),
     )
 

@@ -61,6 +61,7 @@ class ViltVQAPipeline:
         cache_budget_bytes: int = 8 << 30,
         pixels_u8: bool = False,
         val_batch_size: Optional[int] = None,
+        canvas_bucket: bool = False,
     ):
         """``pixels_u8``: emit ``pixel_values`` as RAW uint8 (the model
         normalizes on-chip and reproduces the canvas zero-pad via the pixel
@@ -74,7 +75,18 @@ class ViltVQAPipeline:
         revisits every client's data each round, so the cache pays for
         itself in round 2; pixels are bitwise-identical to the uncached
         path.  ``cache_budget_bytes`` caps the cache (no eviction — new
-        images just stop being cached)."""
+        images just stop being cached).
+
+        ``canvas_bucket``: TRAIN batches whose every image resizes to width
+        <= min(canvas) pad onto a SQUARE (min, min) canvas instead of the
+        full one (~40%% less pixel payload for portrait/square images; the
+        reference resize rule is untouched — only the zero-pad shrinks, and
+        the model slices its position grid, so per-image pixels and scores
+        are identical).  The epoch streams examples into per-canvas pools
+        in permutation order and flushes full batches; total batches per
+        epoch stay ``steps_per_epoch``.  Eval batches keep the full canvas
+        (fixed chunking + valid masks).  Sequential engine only — the SPMD
+        engine stacks same-shape client batches."""
         self.examples = list(examples)
         # evaluation runs on its own split (the reference builds separate
         # train/val/test loaders, ``train_vqa_crossvqa.py:166-230``); when no
@@ -94,6 +106,10 @@ class ViltVQAPipeline:
         self.pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
         self.task_key = None
         self.pixels_u8 = pixels_u8
+        # canvas bucketing applies only to the wide-landscape canvas layout
+        self.canvas_bucket = bool(canvas_bucket) and canvas[1] > canvas[0]
+        self._narrow_canvas = (canvas[0], canvas[0])
+        self._size_cache: Dict[Any, Tuple[int, int]] = {}
         self._cache: Optional[Dict[Any, np.ndarray]] = {} if cache_images else None
         self._cache_left = cache_budget_bytes
         self._cache_lock = threading.Lock()
@@ -120,10 +136,38 @@ class ViltVQAPipeline:
     def steps_per_epoch(self) -> int:
         return len(self.examples) // self.batch_size
 
-    def _load_one(self, ex: VQAExample):
+    def _load_one(self, ex: VQAExample, canvas=None):
         img = self.backend.load(ex.image_id)
-        pixels, mask = process_vilt_image(img, self.canvas)
+        pixels, mask = process_vilt_image(img, canvas or self.canvas)
         return pixels, mask
+
+    def _resized_wh(self, ex: VQAExample) -> Tuple[int, int]:
+        """Analytic (h, w) AFTER the ViLT resize rule, from the image header
+        only (PIL ``Image.open`` is lazy — ``.size`` reads no pixel data).
+        Mirrors ``images.vilt_resized_u8``'s arithmetic exactly, so the
+        bucket decision always matches what the decode will produce."""
+        cached = self._size_cache.get(ex.image_id)
+        if cached is not None:
+            return cached
+        w, h = self.backend.load(ex.image_id).size
+        shorter, longer = min(self.canvas), max(self.canvas)
+        if min(w, h) > shorter or max(w, h) > longer:
+            scale = shorter / min(w, h)
+            if max(w, h) * scale > longer:
+                scale = longer / max(w, h)
+            w, h = round(w * scale), round(h * scale)
+        ch, cw = self.canvas
+        if h > ch or w > cw:
+            scale = min(ch / h, cw / w)
+            w, h = max(1, round(w * scale)), max(1, round(h * scale))
+        self._size_cache[ex.image_id] = (h, w)
+        return h, w
+
+    def _canvas_of(self, ex: VQAExample) -> Tuple[int, int]:
+        if not self.canvas_bucket:
+            return self.canvas
+        _, w = self._resized_wh(ex)
+        return self._narrow_canvas if w <= self._narrow_canvas[1] else self.canvas
 
     def _load_u8(self, ex: VQAExample) -> np.ndarray:
         """Decode+resize stage -> [h, w, 3] uint8 (cached when enabled)."""
@@ -144,15 +188,20 @@ class ViltVQAPipeline:
                     self._cache_left -= arr.nbytes
         return arr
 
-    def _batch_images(self, batch_ex: List[VQAExample]):
+    def _batch_images(self, batch_ex: List[VQAExample], canvas=None):
         """-> (pixels [B, H, W, 3] f32 (or u8 when ``pixels_u8``), masks
         [B, H, W] i32); cached+fused path when cache_images is on,
-        per-image PIL+numpy path otherwise (bitwise-identical outputs)."""
+        per-image PIL+numpy path otherwise (bitwise-identical outputs).
+        ``canvas`` overrides the padding canvas (canvas bucketing); the
+        decode/resize stage ALWAYS uses the full-canvas rule, so the u8
+        cache is shared across buckets."""
+        canvas = canvas or self.canvas
         if self._cache is None and not self.pixels_u8:
+            load = lambda e: self._load_one(e, canvas)
             if self.pool is not None:
-                images = list(self.pool.map(self._load_one, batch_ex))
+                images = list(self.pool.map(load, batch_ex))
             else:
-                images = [self._load_one(e) for e in batch_ex]
+                images = [load(e) for e in batch_ex]
             return np.stack([p for p, _ in images]), np.stack([m for _, m in images])
         if self.pool is not None:
             u8s = list(self.pool.map(self._load_u8, batch_ex))
@@ -164,15 +213,15 @@ class ViltVQAPipeline:
             # [H, W] plane per image over the host->device link)
             from feddat_tpu.data.images import pack_u8_canvas
 
-            return pack_u8_canvas(u8s, self.canvas)
+            return pack_u8_canvas(u8s, canvas)
         from feddat_tpu.data.images import VILT_MEAN, VILT_STD, finalize_vilt_u8
 
         if self._native_finalize is not None:
             return self._native_finalize(
-                u8s, self.canvas, VILT_MEAN.tolist(), VILT_STD.tolist(),
+                u8s, canvas, VILT_MEAN.tolist(), VILT_STD.tolist(),
                 num_threads=max(1, self.num_workers),
             )
-        images = [finalize_vilt_u8(a, self.canvas) for a in u8s]
+        images = [finalize_vilt_u8(a, canvas) for a in u8s]
         return np.stack([p for p, _ in images]), np.stack([m for _, m in images])
 
     # Optional native fast path: when every image in the batch is decoded to
@@ -188,8 +237,9 @@ class ViltVQAPipeline:
             batch_u8, out_hw, VILT_MEAN.tolist(), VILT_STD.tolist(), num_threads
         )
 
-    def _make_batch(self, batch_ex: List[VQAExample], valid: Optional[np.ndarray] = None):
-        pixels, masks = self._batch_images(batch_ex)
+    def _make_batch(self, batch_ex: List[VQAExample], valid: Optional[np.ndarray] = None,
+                    canvas=None):
+        pixels, masks = self._batch_images(batch_ex, canvas)
         ids, attn = self.tokenizer.batch_encode(
             [e.question for e in batch_ex], self.max_text_len
         )
@@ -210,9 +260,37 @@ class ViltVQAPipeline:
     def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(self.seed * 1000 + epoch)
         idx = rng.permutation(len(self.examples))
-        for s in range(self.steps_per_epoch):
-            sel = idx[s * self.batch_size : (s + 1) * self.batch_size]
-            yield self._make_batch([self.examples[i] for i in sel])
+        if not self.canvas_bucket:
+            for s in range(self.steps_per_epoch):
+                sel = idx[s * self.batch_size : (s + 1) * self.batch_size]
+                yield self._make_batch([self.examples[i] for i in sel])
+            return
+        # stream examples into per-canvas pools in permutation order and
+        # flush full batches; the epoch still yields steps_per_epoch batches
+        pools: Dict[Tuple[int, int], List[VQAExample]] = {}
+        emitted = 0
+        for i in idx:
+            if emitted >= self.steps_per_epoch:
+                return
+            ex = self.examples[i]
+            canvas = self._canvas_of(ex)
+            pool = pools.setdefault(canvas, [])
+            pool.append(ex)
+            if len(pool) == self.batch_size:
+                pools[canvas] = []
+                emitted += 1
+                yield self._make_batch(pool, canvas=canvas)
+        # drain what remains as full batches by topping up with the largest
+        # leftovers (keeps the step count = steps_per_epoch even when both
+        # pools end partially filled)
+        rest = [e for pool in pools.values() for e in pool]
+        while emitted < self.steps_per_epoch and len(rest) >= self.batch_size:
+            chunk, rest = rest[: self.batch_size], rest[self.batch_size :]
+            canvas = self.canvas if any(
+                self._canvas_of(e) == self.canvas for e in chunk
+            ) else self._narrow_canvas
+            emitted += 1
+            yield self._make_batch(chunk, canvas=canvas)
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         for chunk, valid in iter_eval_chunks(self.eval_examples, self.val_batch_size):

@@ -133,6 +133,21 @@ class ViltVisualEmbeddings(nn.Module):
         pos = self.param(
             "position_embeddings", nn.initializers.zeros, (1, c.num_patches + 1, c.hidden_size)
         )
+        # Canvas-bucketed inputs (pipeline ``--canvas_bucket``): a pixel
+        # canvas SMALLER than the configured one uses the top-left subgrid
+        # of the learned position grid — numerically identical to running
+        # the full canvas with the extra columns mask-padded (the narrow
+        # canvas IS that top-left rectangle), so bucketed and full-canvas
+        # scores agree exactly (tests/test_canvas_bucket.py).
+        gh = pixel_values.shape[1] // c.patch_size
+        gw = pixel_values.shape[2] // c.patch_size
+        ph = c.image_size[0] // c.patch_size
+        pw = c.image_size[1] // c.patch_size
+        if (gh, gw) != (ph, pw):
+            grid = pos[:, 1:].reshape(1, ph, pw, c.hidden_size)[:, :gh, :gw]
+            pos = jnp.concatenate(
+                [pos[:, :1], grid.reshape(1, gh * gw, c.hidden_size)], axis=1
+            )
         x = jnp.concatenate([jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, c.hidden_size)), patches], axis=1)
         x = x + pos.astype(self.dtype)
         return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
@@ -172,7 +187,9 @@ class ViltEncoder(nn.Module):
             # a [H, W] int32 plane (28 MB/batch at B=48) and rebuild it here
             import jax as _jax
 
-            H, W = c.image_size
+            # follow the ACTUAL pixel canvas (canvas bucketing feeds shapes
+            # smaller than the configured one)
+            H, W = pixel_values.shape[1], pixel_values.shape[2]
             hh = pixel_mask[:, 0][:, None, None]
             ww = pixel_mask[:, 1][:, None, None]
             ih = _jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
@@ -204,10 +221,10 @@ class ViltEncoder(nn.Module):
         if pixel_mask is None:
             image_mask_base = jnp.ones((image.shape[0], image.shape[1]), dtype=attention_mask.dtype)
         else:
-            # Patch-level mask from a pixel-level mask (fixed canvas): a patch
+            # Patch-level mask from a pixel-level mask (per-canvas): a patch
             # is valid iff any covered pixel is valid; CLS always valid.
-            ph = c.image_size[0] // c.patch_size
-            pw = c.image_size[1] // c.patch_size
+            ph = pixel_mask.shape[1] // c.patch_size
+            pw = pixel_mask.shape[2] // c.patch_size
             pm = pixel_mask.reshape(
                 pixel_mask.shape[0], ph, c.patch_size, pw, c.patch_size
             ).max(axis=(2, 4))

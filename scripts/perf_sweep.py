@@ -11,7 +11,7 @@ import numpy as np
 
 
 def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="full",
-          scan_unroll=1):
+          scan_unroll=1, image_size=None):
     import jax
     import jax.numpy as jnp
 
@@ -33,6 +33,7 @@ def build(batch_size, remat, attn_impl, logits_dtype, fused_step, remat_policy="
         attention_logits_dtype=logits_dtype,
         scan_unroll=scan_unroll,
         fuse_ln=(attn_impl == "block"),
+        **({"image_size": image_size} if image_size else {}),
     )
     model = ViltContinualLearner(
         cfg, {"fed": TaskHeadSpec(num_labels=100)}, dtype=jnp.bfloat16, attn_impl=attn_impl
