@@ -665,6 +665,12 @@ def main(argv=None) -> int:
     }
 
     if args.engine == "spmd":
+        if args.canvas_bucket:
+            raise SystemExit(
+                "--canvas_bucket emits per-batch canvases; the spmd engine "
+                "stacks same-shape batches across the client axis.  Use "
+                "--engine sequential with --canvas_bucket."
+            )
         if args.do_single:
             raise ValueError(
                 "--do_single is a per-task centralized baseline with no client "

@@ -108,22 +108,24 @@ def test_tp_forward_albef():
 
 
 def test_tp_cli_guards():
-    """--tp composes only with the sequential engine (the spmd engine's mesh
-    axes are (client, data)) and a single controller; every Pallas attention
-    kernel is a custom call that does not partition over the model axis, so
-    --tp forces attn_impl back to 'auto'."""
+    """--tp composes with BOTH engines since round 5 (sequential over
+    (data, model); spmd over (client, data, model) — tests/test_tp_spmd.py)
+    but stays single-controller; every Pallas attention kernel is a custom
+    call that does not partition over the model axis, so --tp forces
+    attn_impl back to 'auto'."""
     import pytest
 
-    from feddat_tpu.cli import apply_tp_arg_guards, build_parser, main
-
-    with pytest.raises(SystemExit, match="sequential"):
-        main([
-            "--encoder_name", "vilt", "--optimizer_mode", "dat",
-            "--engine", "spmd", "--tp", "2",
-            "--ordered_cl_tasks", "domain", "--climb_data_dir", "/nonexistent",
-        ])
+    from feddat_tpu.cli import apply_tp_arg_guards, build_parser
 
     parser = build_parser()
+    # spmd+tp is accepted (the composition is validated in test_tp_spmd.py)
+    args = parser.parse_args([
+        "--encoder_name", "vilt", "--optimizer_mode", "dat",
+        "--engine", "spmd", "--tp", "2",
+        "--ordered_cl_tasks", "domain", "--climb_data_dir", "/x",
+    ])
+    apply_tp_arg_guards(args)  # must not raise
+
     base = ["--encoder_name", "vilt", "--optimizer_mode", "dat",
             "--ordered_cl_tasks", "domain", "--climb_data_dir", "/x",
             "--engine", "sequential", "--tp", "2"]
