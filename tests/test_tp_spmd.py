@@ -148,3 +148,62 @@ def test_tp_spmd_adapter_mode():
     assert jax.tree_util.tree_structure(base_scores) == jax.tree_util.tree_structure(tp_scores)
     for b, t in zip(jax.tree_util.tree_leaves(base_scores), jax.tree_util.tree_leaves(tp_scores)):
         np.testing.assert_allclose(b, t, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_spmd_albef_matches_plain_spmd():
+    """The ALBEF family (LM loss + rank-answer eval inside shard_map) also
+    composes with the model axis: (client=2, data=2, model=2) reproduces
+    the (client=2, data=2) run."""
+    import dataclasses
+
+    from feddat_tpu.data.synthetic import SyntheticAlbefClient
+    from feddat_tpu.models.albef import AlbefModel, init_albef_params
+    from test_albef import TINY_ALBEF, TINY_BERT
+
+    acfg = dataclasses.replace(
+        TINY_ALBEF,
+        bert=dataclasses.replace(TINY_BERT, hidden_dropout=0.0, attention_dropout=0.0),
+    )
+    clients = [
+        SyntheticAlbefClient(
+            task_key=f"client_{i}", num_train=8, num_eval=4, num_answers=8,
+            vocab_size=64, question_len=6, answer_len=4, image_size=(32, 32),
+            batch_size=4, seed=i,
+        )
+        for i in range(2)
+    ]
+    model = AlbefModel(acfg)
+    params = init_albef_params(
+        model, jax.random.PRNGKey(0), next(clients[0].train_batches(0))
+    )
+    cfg = TrainConfig(
+        peft_mode=PEFTMode.DAT,
+        optimizer=OptimizerConfig(lr=5e-3),
+        federated=FederatedConfig(comm_rounds=1, local_epochs=1, eval_every=1),
+        num_epochs=2,
+        seed=0,
+    )
+    banks = {c.task_key: (c.answer_ids, c.answer_mask) for c in clients}
+
+    def run(mesh):
+        trainer = SPMDFederatedTrainer(
+            model, params, clients, cfg, mesh, family="albef",
+            answer_banks=banks, rank_k=4,
+        )
+        trainer.run_round(0)
+        state = jax.tree_util.tree_map(np.asarray, trainer.client_state)
+        return state, trainer.evaluate_round(0)
+
+    base_state, base_scores = run(make_mesh(num_clients=2, data_parallel=2))
+    tp_state, tp_scores = run(
+        make_mesh(num_clients=2, data_parallel=2, model_parallel=2)
+    )
+    for b, t in zip(
+        jax.tree_util.tree_leaves(base_state), jax.tree_util.tree_leaves(tp_state)
+    ):
+        np.testing.assert_allclose(b, t, rtol=5e-4, atol=5e-5)
+    assert base_scores["scores"].keys() == tp_scores["scores"].keys()
+    for k in base_scores["scores"]:
+        np.testing.assert_allclose(
+            base_scores["scores"][k], tp_scores["scores"][k], rtol=5e-4, atol=5e-4
+        )
