@@ -17,7 +17,7 @@ python -m feddat_tpu.cli \
   --output_dir ./logs \
   --do_train \
   --batch_size 48 \
-  --val_batch_size 32 \
+  --val_batch_size 48 \
   --lr 1e-4 \
   --optimizer_mode dat \
   --seed 2 \
