@@ -31,6 +31,14 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=48)
     p.add_argument("--images", type=int, default=256)
     p.add_argument("--examples_per_batch", type=int, default=20)
+    p.add_argument("--portrait_frac", type=float, default=0.5,
+                   help="fraction of portrait (narrow-bucket) images; 1.0 "
+                        "isolates the narrow program (no two-program "
+                        "alternation in the bucketed arm)")
+    p.add_argument("--reps", type=int, default=3,
+                   help="interleaved repetitions per arm (median reported): "
+                        "the dev tunnel's H2D rate drifts ~2x between "
+                        "minutes, so back-to-back single shots mislead")
     args = p.parse_args(argv)
 
     from feddat_tpu.utils.observability import enable_compilation_cache
@@ -62,9 +70,10 @@ def main(argv=None) -> int:
     with tempfile.TemporaryDirectory() as tmp:
         img_dir = os.path.join(tmp, "vizwiz", "images")
         os.makedirs(img_dir)
+        n_portrait = int(round(args.portrait_frac * n_images))
         for i in range(n_images):
-            # 50/50 landscape (wide bucket) / portrait (narrow bucket)
-            w, h = (640, 480) if i % 2 == 0 else (480, 640)
+            # landscape (wide bucket) vs portrait (narrow bucket) mix
+            w, h = (480, 640) if i < n_portrait else (640, 480)
             Image.fromarray(
                 rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
             ).save(os.path.join(img_dir, f"img{i}.jpg"), quality=90)
@@ -97,9 +106,16 @@ def main(argv=None) -> int:
             float(m["loss"])
             return B * n_steps / (time.perf_counter() - t0)
 
-        plain = run(False)
-        bucketed = run(True)
-        print(f"e2e warm-live (B={B}, 50/50 portrait/landscape, canvas 384x640): "
+        plain_reps, bucket_reps = [], []
+        for rep in range(args.reps):
+            plain_reps.append(run(False))
+            bucket_reps.append(run(True))
+            print(f"  rep {rep}: plain {plain_reps[-1]:.1f} vs bucketed "
+                  f"{bucket_reps[-1]:.1f} samples/s", flush=True)
+        plain = float(np.median(plain_reps))
+        bucketed = float(np.median(bucket_reps))
+        print(f"e2e warm-live (B={B}, portrait_frac={args.portrait_frac}, canvas 384x640, "
+              f"median of {args.reps} interleaved reps): "
               f"plain {plain:.1f} vs bucketed {bucketed:.1f} samples/s "
               f"({bucketed / plain:.2f}x)", flush=True)
     return 0
