@@ -22,9 +22,19 @@ the flagship ViLT line is last.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    """Stage marker on stderr (stdout stays pure JSON for the driver).
+
+    The dev tunnel's latency can balloon mid-session; without these, a
+    slow stage is indistinguishable from a hang (round 5 lost a 30-minute
+    run to exactly that)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def _build(batch_size: int, dtype: str):
@@ -530,19 +540,25 @@ def main():
     # per step; the one deviation from the reference's three independent
     # draws — stages ①/③ share the ensemble pass's mask — is
     # distribution-level-equivalence-tested, tests/test_dat_fused.py)
+    _progress(f"albef tuned fused+dropout B={albef_bs}")
     albef_tuned = _measure_albef_train(albef_bs, "bfloat16")
     # sequence-exact variant: the standard bf16 step (three independent
     # stochastic forwards — bitwise the reference sequence, like the fp32
     # baseline below)
+    _progress(f"albef sequence-exact standard step B={albef_bs_small}")
     albef_tuned_dropout = _measure_albef_train(albef_bs_small, "bfloat16", fused=False)
     # throughput mode with dropout disabled (the pre-round-4 headline;
     # deterministic shared ensemble pass)
+    _progress(f"albef dropout-off B={albef_bs_small}")
     albef_tuned_det = _measure_albef_train(albef_bs_small, "bfloat16", dropout=False)
     # 30 iters: the B=2 fp32 denominator is latency-dominated and noisy at
     # few iters (same lesson as the ViLT baseline below)
+    _progress("albef fp32 B=2 baseline (30 iters, latency-dominated)")
     albef_base = _measure_albef_train(2, "float32", warmup=3, iters=30)
+    _progress("albef rank-answer eval")
     rank_qps = _measure_albef_rank(batch_size=16 if on_tpu else 2,
                                    bank=100, k=64 if on_tpu else 8)
+    _progress("albef e2e round (staged + live)")
     albef_e2e_staged, albef_e2e_live = _measure_albef_e2e()
     print(
         json.dumps(
@@ -571,6 +587,7 @@ def main():
     )
 
     # -- end-to-end with the real host pipeline (VERDICT r2 item 3) --------
+    _progress("vilt e2e round (staged + live + cold)")
     e2e_staged, e2e_live, e2e_cold = _measure_vilt_e2e("bfloat16")
     print(
         json.dumps(
@@ -596,9 +613,11 @@ def main():
     # per-pass B=64 is the measured optimum for the whole-layer-kernel
     # config (B=48: 569, B=64: 580, B=96: 570 samples/s — PERF.md round 4)
     tuned_bs = 64 if on_tpu else 8
+    _progress(f"vilt tuned layer-kernel B={tuned_bs}")
     tuned = _measure(tuned_bs, "bfloat16")
     # 50 iters: the B=2 denominator is latency-dominated and noisy at 10
     # (and still ~3% run-to-run at 30); the extra second buys stability
+    _progress("vilt fp32 B=2 baseline (50 iters)")
     baseline = _measure(2, "float32", warmup=5, iters=50)
     print(
         json.dumps(
