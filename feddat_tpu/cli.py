@@ -101,12 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="remat granularity (PERF.md documents the measured trade-offs; "
                         "block_save_nox pairs with --attn_impl block: +8%% on v5e)")
     p.add_argument("--text_remat_policy", default="full",
-                   choices=["full", "dots", "names", "block_save", "block_save_nox",
-                            "block_save_ffn"],
+                   choices=["full", "dots", "names"],
                    help="checkpoint policy for ALBEF's text/fusion/decoder towers "
                         "('names' saves qkv/attn_probs/attn_out/ffn_preact — incl. "
                         "the fusion layers' S=577 image K/V projections, the "
-                        "dominant backward recompute: +4%% measured, PERF.md r5)")
+                        "dominant backward recompute: +4%% measured, PERF.md r5). "
+                        "The block_save* policies are NOT offered here: their "
+                        "attn_ctx/attn_lse tags are emitted only by the Pallas "
+                        "attention kernels, and the text towers run XLA attention "
+                        "— they would silently degrade to near-full recompute")
     p.add_argument("--dropout_rng", default="threefry",
                    choices=["threefry", "rbg"],
                    help="bit generator for dropout masks inside the train step "
@@ -255,11 +258,11 @@ def _build_classification_client(args, key, spec, tokenizer):
     from feddat_tpu.data.pipeline import ViltVQAPipeline
 
     data_dir = os.path.join(args.climb_data_dir, spec.data_dir)
-    if (args.cache_images or args.device_normalize) and spec.trainer != "vqa":
+    if (args.cache_images or args.device_normalize or args.canvas_bucket) and spec.trainer != "vqa":
         print(
-            f"[feddat_tpu] --cache_images/--device_normalize are not wired "
-            f"into the {spec.trainer!r} pipeline; task {key!r} uses the "
-            "plain f32 image path", file=sys.stderr,
+            f"[feddat_tpu] --cache_images/--device_normalize/--canvas_bucket "
+            f"are not wired into the {spec.trainer!r} pipeline; task {key!r} "
+            "uses the plain f32 full-canvas image path", file=sys.stderr,
         )
     smoke_kw = {"canvas": (64, 64), "max_text_len": 16} if args.smoke else {}
     canvas = smoke_kw.get("canvas", (384, 640))
@@ -280,7 +283,7 @@ def _build_classification_client(args, key, spec, tokenizer):
             batch_size=args.batch_size, val_batch_size=args.val_batch_size,
             seed=args.seed, eval_examples=ev,
             cache_images=args.cache_images, pixels_u8=args.device_normalize,
-            num_workers=args.num_workers,
+            num_workers=args.num_workers, canvas_bucket=args.canvas_bucket,
             **smoke_kw,
         )
     if spec.trainer == "nlvr2":
@@ -434,6 +437,14 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
     apply_tp_arg_guards(args)
+    if args.engine == "spmd" and args.canvas_bucket:
+        # fail BEFORE model creation / dataset ingestion — this is pure
+        # arg validation and those stages can take minutes on real data
+        raise SystemExit(
+            "--canvas_bucket emits per-batch canvases; the spmd engine "
+            "stacks same-shape batches across the client axis.  Use "
+            "--engine sequential with --canvas_bucket."
+        )
     config = TrainConfig(
         encoder_name=args.encoder_name,
         peft_mode=mode,
@@ -665,12 +676,6 @@ def main(argv=None) -> int:
     }
 
     if args.engine == "spmd":
-        if args.canvas_bucket:
-            raise SystemExit(
-                "--canvas_bucket emits per-batch canvases; the spmd engine "
-                "stacks same-shape batches across the client axis.  Use "
-                "--engine sequential with --canvas_bucket."
-            )
         if args.do_single:
             raise ValueError(
                 "--do_single is a per-task centralized baseline with no client "

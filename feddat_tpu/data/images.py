@@ -92,6 +92,25 @@ def process_vilt_image(
     return finalize_vilt_u8(vilt_resized_u8(img, canvas), canvas)
 
 
+def vilt_resized_dims(w: int, h: int, canvas: Tuple[int, int]) -> Tuple[int, int]:
+    """Analytic (h, w) after ``vilt_resized_u8``'s two-stage resize (the
+    conditional shorter/longer rule, then fit-to-canvas), including each
+    stage's rounding — the ONE definition of the resize arithmetic, shared
+    by the decode path above and the pipeline's header-only bucket decision
+    (``pipeline.ViltVQAPipeline._resized_wh``), so the two can never drift."""
+    shorter, longer = min(canvas), max(canvas)
+    if min(w, h) > shorter or max(w, h) > longer:
+        scale = shorter / min(w, h)
+        if max(w, h) * scale > longer:
+            scale = longer / max(w, h)
+        w, h = round(w * scale), round(h * scale)
+    ch, cw = canvas
+    if h > ch or w > cw:
+        scale = min(ch / h, cw / w)
+        w, h = max(1, round(w * scale)), max(1, round(h * scale))
+    return h, w
+
+
 def pack_u8_canvas(u8s, canvas: Tuple[int, int]):
     """Resized uint8 images -> (pixels [B, H, W, 3] u8 on the zero-padded
     canvas, dims [B, 2] (h, w) rectangle-mask extents).

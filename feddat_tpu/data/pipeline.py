@@ -138,30 +138,30 @@ class ViltVQAPipeline:
 
     def _load_one(self, ex: VQAExample, canvas=None):
         img = self.backend.load(ex.image_id)
-        pixels, mask = process_vilt_image(img, canvas or self.canvas)
-        return pixels, mask
+        if canvas is None or canvas == self.canvas:
+            return process_vilt_image(img, self.canvas)
+        # Bucketed batch: the decode/resize stage ALWAYS uses the FULL-canvas
+        # rule (passing the narrow canvas into process_vilt_image would change
+        # the longer-side cap 640 -> 384 and produce different pixels); only
+        # the zero-pad target shrinks — the --canvas_bucket exactness contract.
+        from feddat_tpu.data.images import finalize_vilt_u8, vilt_resized_u8
+
+        return finalize_vilt_u8(vilt_resized_u8(img, self.canvas), canvas)
 
     def _resized_wh(self, ex: VQAExample) -> Tuple[int, int]:
         """Analytic (h, w) AFTER the ViLT resize rule, from the image header
         only (PIL ``Image.open`` is lazy — ``.size`` reads no pixel data).
-        Mirrors ``images.vilt_resized_u8``'s arithmetic exactly, so the
-        bucket decision always matches what the decode will produce."""
+        Delegates to ``images.vilt_resized_dims`` — the same arithmetic the
+        decode uses — so the bucket decision always matches the decode."""
         cached = self._size_cache.get(ex.image_id)
         if cached is not None:
             return cached
+        from feddat_tpu.data.images import vilt_resized_dims
+
         w, h = self.backend.load(ex.image_id).size
-        shorter, longer = min(self.canvas), max(self.canvas)
-        if min(w, h) > shorter or max(w, h) > longer:
-            scale = shorter / min(w, h)
-            if max(w, h) * scale > longer:
-                scale = longer / max(w, h)
-            w, h = round(w * scale), round(h * scale)
-        ch, cw = self.canvas
-        if h > ch or w > cw:
-            scale = min(ch / h, cw / w)
-            w, h = max(1, round(w * scale)), max(1, round(h * scale))
-        self._size_cache[ex.image_id] = (h, w)
-        return h, w
+        hw = vilt_resized_dims(w, h, self.canvas)
+        self._size_cache[ex.image_id] = hw
+        return hw
 
     def _canvas_of(self, ex: VQAExample) -> Tuple[int, int]:
         if not self.canvas_bucket:

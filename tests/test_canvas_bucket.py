@@ -48,8 +48,15 @@ class _Ex:
 
 
 def _make_pipeline(canvas_bucket, pixels_u8=False, cache_images=False):
-    # 8 narrow (portrait/square) + 8 wide (landscape) images
-    sizes = [(300, 400)] * 4 + [(384, 384)] * 4 + [(900, 500)] * 4 + [(640, 300)] * 4
+    # 8 narrow (portrait/square) + 8 wide (landscape) images.  (500, 800)
+    # portraits have min(side) > 384, so they take the stage-1 shorter/longer
+    # resize — whose thresholds depend on the canvas; they pin that the
+    # bucketed decode keeps the FULL-canvas rule (longer cap 640, two bicubic
+    # passes) instead of resizing with the narrow canvas's 384 cap
+    sizes = (
+        [(300, 400)] * 2 + [(500, 800)] * 2 + [(384, 384)] * 4
+        + [(900, 500)] * 4 + [(640, 300)] * 4
+    )
     backend = _FakeBackend(sizes)
     examples = [_Ex(i) for i in range(16)]
     return ViltVQAPipeline(
